@@ -1,0 +1,77 @@
+"""Exact on-device negative sampling.
+
+Replaces the reference's host-Python rejection loop — which materializes BPR
+triples for ALL epochs up front (reference src/dataset/dataset.py:83-114, with
+the `while j in uis` rejection at :100-103) — with a closed-form, loop-free
+device sampler:
+
+For user u with sorted unique positives p_0 < p_1 < ... < p_{c-1}, the r-th
+smallest NON-positive item (r uniform in [0, num_items - c)) is
+
+    j = r + k,   k = |{ t : p_t - t <= r }|
+
+and since ``p_t - t`` is non-decreasing for a strictly increasing row, k is a
+single binary search.  Rows are padded with strictly-increasing out-of-range
+sentinels (data/interactions.py:pad_sorted_positives) so the search is a
+fixed-shape vmapped `searchsorted` — no rejection, no data-dependent control
+flow, exactly uniform over the complement (the distribution the reference's
+rejection loop converges to).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_negatives(
+    key: jax.Array,
+    users: jax.Array,  # [B] int32
+    padded_pos: jax.Array,  # [U, P] int32, strictly increasing rows
+    pos_counts: jax.Array,  # [U] int32
+    num_items: int,
+) -> jax.Array:
+    """Sample one negative item per batch row, uniform over non-positives."""
+    rows = jnp.take(padded_pos, users, axis=0)  # [B, P]
+    counts = jnp.take(pos_counts, users)  # [B]
+    # r ~ Uniform[0, num_items - c)
+    u01 = jax.random.uniform(key, users.shape)
+    r = jnp.floor(u01 * (num_items - counts)).astype(jnp.int32)
+    r = jnp.minimum(r, num_items - counts - 1)  # guard the u01==1.0 edge
+    shifted = rows - jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]  # [B, P]
+    k = jax.vmap(
+        functools.partial(jnp.searchsorted, side="right")
+    )(shifted, r).astype(jnp.int32)
+    return r + k
+
+
+def sample_triplets(
+    key: jax.Array,
+    train_pairs: jax.Array,  # [N, 2] int32
+    padded_pos: jax.Array,
+    pos_counts: jax.Array,
+    num_items: int,
+    num_steps: int,
+    batch_size: int,
+    drop_tail: bool = True,
+):
+    """Build one epoch of shuffled BPR triplet batches, fully on device.
+
+    Returns (users, pos, neg), each [num_steps, batch_size] int32.  The
+    interaction list is permuted (the reference shuffles at user granularity,
+    dataset.py:96-99; permuting interactions mixes strictly better) and the
+    tail that doesn't fill a batch is dropped (reference dataset.py:90-93).
+    """
+    del drop_tail  # fixed-shape: tail is always dropped
+    perm_key, neg_key = jax.random.split(key)
+    n = train_pairs.shape[0]
+    take = num_steps * batch_size
+    perm = jax.random.permutation(perm_key, n)[:take]
+    pairs = jnp.take(train_pairs, perm, axis=0)
+    users = pairs[:, 0]
+    pos = pairs[:, 1]
+    neg = sample_negatives(neg_key, users, padded_pos, pos_counts, num_items)
+    shape = (num_steps, batch_size)
+    return users.reshape(shape), pos.reshape(shape), neg.reshape(shape)

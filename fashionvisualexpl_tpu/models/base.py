@@ -1,0 +1,84 @@
+"""Model protocol and shared loss pieces.
+
+The reference buries the train loop, checkpointing, and best-model tracking
+inside every model class (src/recommender/models/BPRMF.py:127-192).  Here a
+model is a thin, stateless object exposing pure functions over explicit
+parameter pytrees; one shared jitted trainer (train/trainer.py) and one
+evaluator (eval/evaluator.py) serve every model.
+
+Parameters are split into two pytrees:
+- ``params``  — trainable (optimized);
+- ``frozen``  — non-trainable constants (e.g. VBPR's frozen CNN feature matrix
+  F, reference VBPR.py:49-51), passed as jit arguments so they are not baked
+  into the compiled program as literals.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+Frozen = Dict[str, Any]
+
+
+def l2_loss(x: jax.Array) -> jax.Array:
+    """tf.nn.l2_loss parity: 0.5 * sum(x**2)."""
+    return 0.5 * jnp.sum(jnp.square(x))
+
+
+def bpr_pairwise_loss(x_pos: jax.Array, x_neg: jax.Array) -> jax.Array:
+    """Summed BPR triplet loss with the reference's clip quirk
+    (BPRMF.py:104-106): softplus(-clip(x_pos - x_neg, -80, 1e8))."""
+    diff = jnp.clip(x_pos - x_neg, -80.0, 1e8)
+    return jnp.sum(jax.nn.softplus(-diff))
+
+
+def glorot_uniform(key: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    """GlorotUniform parity with tf.initializers.GlorotUniform (BPRMF.py:36)."""
+    return jax.nn.initializers.glorot_uniform()(key, shape, jnp.float32)
+
+
+def normal_init(
+    key: jax.Array, shape: Tuple[int, ...], stddev: float = 0.01
+) -> jax.Array:
+    """RandomNormal(mean=0, stddev=0.01) parity (AttentiveFashion.py:24)."""
+    return stddev * jax.random.normal(key, shape, jnp.float32)
+
+
+class RecommenderModel:
+    """Base interface.  Concrete models implement:
+
+    - init(rng) -> (params, frozen)
+    - score(params, frozen, users, items) -> [B] pointwise scores
+    - loss(params, frozen, users, pos, neg, reg) -> scalar training loss
+    - predict_all(params, frozen) -> [U, I] full score matrix
+    - predict_user_block(params, frozen, user_ids) -> [B_u, I] score rows
+    """
+
+    name: str = "base"
+
+    def __init__(self, num_users: int, num_items: int):
+        self.num_users = num_users
+        self.num_items = num_items
+
+    def init(self, rng: jax.Array) -> Tuple[Params, Frozen]:
+        raise NotImplementedError
+
+    def score(self, params, frozen, users, items):
+        raise NotImplementedError
+
+    def loss(self, params, frozen, users, pos, neg, reg):
+        raise NotImplementedError
+
+    def predict_all(self, params, frozen):
+        raise NotImplementedError
+
+    def predict_user_block(self, params, frozen, user_ids):
+        """Default: slice users out of the model's full-matrix formula.
+
+        Models with factored score structure override this to compute only the
+        requested rows (every built-in model does)."""
+        return jnp.take(self.predict_all(params, frozen), user_ids, axis=0)

@@ -1,0 +1,182 @@
+"""Shared training engine.
+
+One trainer for every model, replacing the copy-pasted in-class loops of the
+reference (src/recommender/models/BPRMF.py:127-192, GradFashion.py:195-267,
+AttentiveFashion.py:258-331).  TPU-first structure:
+
+- negative sampling, batching, and the full epoch of optimizer steps run as a
+  SINGLE jitted program per epoch (`lax.scan` over step batches) — the
+  reference re-dispatches eager ops from Python per 256-triple batch;
+- best-model tracking keeps a device-resident copy of the params pytree
+  (the reference deepcopies the whole model object into host RAM,
+  BPRMF.py:156);
+- per-epoch evaluation via eval/evaluator.py; metric records are emitted both
+  in the reference's printed format and as JSONL.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashionvisualexpl_tpu.core.config import TrainConfig
+from fashionvisualexpl_tpu.core.train_state import (
+    TrainState,
+    apply_gradients,
+    create_train_state,
+    tf_parity_adam,
+)
+from fashionvisualexpl_tpu.data.interactions import Interactions
+from fashionvisualexpl_tpu.data.sampler import sample_triplets
+from fashionvisualexpl_tpu.models.base import RecommenderModel
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    loss: float
+    train_time_s: float
+    eval_time_s: float = 0.0
+    metrics: Optional[Dict[str, float]] = None
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: RecommenderModel,
+        data: Interactions,
+        cfg: TrainConfig,
+        tx=None,
+    ):
+        self.model = model
+        self.data = data
+        self.cfg = cfg
+        self.tx = tx if tx is not None else tf_parity_adam(cfg.lr)
+        self.steps_per_epoch = data.steps_per_epoch(cfg.batch_size)
+        if self.steps_per_epoch == 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} > {data.num_train} interactions"
+            )
+
+        # device-resident sampler tables
+        self._train_pairs = jnp.asarray(data.train_pairs)
+        self._padded_pos = jnp.asarray(data.padded_pos)
+        self._pos_counts = jnp.asarray(data.pos_counts)
+
+        self._epoch_fn = self._build_epoch_fn()
+
+    def _build_epoch_fn(self) -> Callable:
+        model, cfg = self.model, self.cfg
+        steps, batch = self.steps_per_epoch, self.cfg.batch_size
+        num_items = self.data.num_items
+        tx = self.tx
+        reg = cfg.reg
+
+        def epoch_fn(state: TrainState, frozen, key,
+                     train_pairs, padded_pos, pos_counts):
+            users, pos, neg = sample_triplets(
+                key, train_pairs, padded_pos, pos_counts,
+                num_items, steps, batch,
+            )
+
+            def body(st, step_batch):
+                u, p, n = step_batch
+
+                def loss_fn(params):
+                    return model.loss(params, frozen, u, p, n, reg)
+
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                st = apply_gradients(st, grads, tx)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, (users, pos, neg))
+            return state, jnp.sum(losses)
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def init_state(self, rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        params, frozen = self.model.init(rng)
+        return create_train_state(params, self.tx), frozen
+
+    def run_epoch(
+        self, state: TrainState, frozen, key: jax.Array
+    ) -> Tuple[TrainState, jax.Array]:
+        """Run one full epoch (sampling + all optimizer steps) on device."""
+        return self._epoch_fn(
+            state, frozen, key,
+            self._train_pairs, self._padded_pos, self._pos_counts,
+        )
+
+
+def fit(
+    model: RecommenderModel,
+    data: Interactions,
+    cfg: TrainConfig,
+    evaluator=None,
+    rng: Optional[jax.Array] = None,
+    log: Optional[Callable[[Dict[str, Any]], None]] = None,
+) -> Tuple[TrainState, Any, Dict[int, Dict[str, float]], List[EpochResult]]:
+    """Full training run with per-epoch eval and best-model tracking.
+
+    Returns (final_state, frozen, results dict keyed by epoch with the
+    reference's result-record schema (Evaluator.py:216-221), epoch log).
+    Best-model selection follows the reference (BPRMF.py:150-156): argmax of
+    the validation `best_metric`, ties resolved to the LATEST epoch (the
+    reference uses `<=`).
+    """
+    trainer = Trainer(model, data, cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    init_rng, epoch_rng = jax.random.split(rng)
+    state, frozen = trainer.init_state(init_rng)
+
+    results: Dict[int, Dict[str, float]] = {}
+    history: List[EpochResult] = []
+    best_params = state.params
+    best_epoch = 0
+    best_value = -float("inf")
+    metric_key = cfg.best_metric + "_v"
+
+    for epoch in range(1, cfg.epochs + 1):
+        t0 = time.time()
+        key = jax.random.fold_in(epoch_rng, epoch)
+        state, loss = trainer.run_epoch(state, frozen, key)
+        loss = float(loss)
+        train_time = time.time() - t0
+
+        rec = EpochResult(epoch=epoch, loss=loss, train_time_s=train_time)
+        if evaluator is not None and epoch % cfg.eval_every == 0:
+            t1 = time.time()
+            metrics = evaluator.evaluate(state.params, frozen)
+            rec.eval_time_s = time.time() - t1
+            rec.metrics = metrics
+            results[epoch] = metrics
+            evaluator.print_epoch(
+                epoch, cfg.epochs, loss / trainer.steps_per_epoch, rec
+            )
+            if metrics.get(metric_key, -float("inf")) >= best_value:
+                best_value = metrics[metric_key]
+                best_epoch = epoch
+                best_params = state.params
+        history.append(rec)
+        if log is not None:
+            log(
+                {
+                    "epoch": epoch,
+                    "loss": loss,
+                    "train_time_s": train_time,
+                    "eval_time_s": rec.eval_time_s,
+                    **(rec.metrics or {}),
+                }
+            )
+
+    return state, frozen, results, {
+        "history": history,
+        "best_params": best_params,
+        "best_epoch": best_epoch,
+    }

@@ -1,0 +1,9 @@
+from setuptools import find_packages, setup
+
+setup(
+    name="fashionvisualexpl-tpu",
+    version="0.1.0",
+    description="TPU-native visual recommender framework (JAX/XLA/Pallas)",
+    packages=find_packages(exclude=("tests",)),
+    python_requires=">=3.10",
+)

@@ -1,0 +1,88 @@
+"""On-device negative sampler: exactness and distribution tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashionvisualexpl_tpu.data.interactions import (
+    pad_sorted_positives,
+    synthetic_interactions,
+)
+from fashionvisualexpl_tpu.data.sampler import sample_negatives, sample_triplets
+
+
+def test_never_samples_positive():
+    rng = np.random.default_rng(0)
+    num_items = 50
+    user_lists = [
+        sorted(rng.choice(num_items, size=rng.integers(1, 30), replace=False))
+        for _ in range(20)
+    ]
+    padded, counts = pad_sorted_positives(user_lists, num_items)
+    users = jnp.asarray(rng.integers(0, 20, size=4096), dtype=jnp.int32)
+    neg = sample_negatives(
+        jax.random.PRNGKey(1), users, jnp.asarray(padded), jnp.asarray(counts),
+        num_items,
+    )
+    neg = np.asarray(neg)
+    users_np = np.asarray(users)
+    assert neg.min() >= 0 and neg.max() < num_items
+    for u, j in zip(users_np, neg):
+        assert j not in user_lists[u], f"sampled positive {j} for user {u}"
+
+
+def test_uniform_over_complement():
+    """Sampler must be exactly uniform over non-positives (the distribution
+    the reference rejection loop at dataset.py:100-103 produces)."""
+    num_items = 20
+    user_lists = [[2, 5, 6, 7, 13]]
+    padded, counts = pad_sorted_positives(user_lists, num_items)
+    n = 60000
+    users = jnp.zeros(n, jnp.int32)
+    neg = np.asarray(
+        sample_negatives(
+            jax.random.PRNGKey(0), users, jnp.asarray(padded),
+            jnp.asarray(counts), num_items,
+        )
+    )
+    complement = sorted(set(range(num_items)) - set(user_lists[0]))
+    hist = np.bincount(neg, minlength=num_items)
+    assert hist[user_lists[0]].sum() == 0
+    expected = n / len(complement)
+    # each complement bucket within 5 sigma of uniform
+    sigma = np.sqrt(n * (1 / len(complement)) * (1 - 1 / len(complement)))
+    assert np.all(np.abs(hist[complement] - expected) < 5 * sigma)
+
+
+def test_dense_user_edge_case():
+    """A user positive on all but one item must always get that item."""
+    num_items = 10
+    user_lists = [[0, 1, 2, 3, 4, 5, 6, 8, 9]]  # only 7 is negative
+    padded, counts = pad_sorted_positives(user_lists, num_items)
+    users = jnp.zeros(256, jnp.int32)
+    neg = np.asarray(
+        sample_negatives(
+            jax.random.PRNGKey(3), users, jnp.asarray(padded),
+            jnp.asarray(counts), num_items,
+        )
+    )
+    assert np.all(neg == 7)
+
+
+def test_sample_triplets_shapes_and_validity():
+    data = synthetic_interactions(30, 40, interactions_per_user=8, seed=1)
+    steps = data.steps_per_epoch(16)
+    users, pos, neg = sample_triplets(
+        jax.random.PRNGKey(0),
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+        data.num_items,
+        steps,
+        16,
+    )
+    assert users.shape == pos.shape == neg.shape == (steps, 16)
+    users, pos, neg = map(np.asarray, (users, pos, neg))
+    for u, p, n in zip(users.ravel(), pos.ravel(), neg.ravel()):
+        assert p in data.training_list[u]
+        assert n not in data.training_list[u]

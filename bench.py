@@ -1,0 +1,84 @@
+"""Headline benchmark: BPR triples/sec/chip (BASELINE.md target: >=10x the
+reference CPU path).
+
+Measures the end-to-end training throughput of the scan-based jitted epoch —
+on-device negative sampling + gather + BPR loss + Adam — for BPRMF at the
+BASELINE.json config-1 scale (10k users x 10k items, 64-dim) with the
+reference's own batch size (256, train_rec.py:23), i.e. strictly the
+reference workload, not a batch-size-inflated one.
+
+The `vs_baseline` denominator is the reference's execution model measured on
+this machine's CPU by scripts/measure_reference_baseline.py (cached in
+BASELINE_SELF.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+NUM_USERS = 10_000
+NUM_ITEMS = 10_000
+EMBED_K = 64
+BATCH = 256
+INTERACTIONS_PER_USER = 20
+WARMUP_EPOCHS = 1
+MEASURE_EPOCHS = 3
+
+
+def main():
+    import jax
+
+    from fashionvisualexpl_tpu.core.config import TrainConfig
+    from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.train.trainer import Trainer
+
+    data = synthetic_interactions(
+        NUM_USERS, NUM_ITEMS, interactions_per_user=INTERACTIONS_PER_USER, seed=0
+    )
+    cfg = TrainConfig(batch_size=BATCH, epochs=1, lr=0.001, reg=0.001)
+    model = BPRMF(data.num_users, data.num_items, embed_k=EMBED_K)
+    trainer = Trainer(model, data, cfg)
+    state, frozen = trainer.init_state()
+
+    key = jax.random.PRNGKey(0)
+    for e in range(WARMUP_EPOCHS):
+        state, loss = trainer.run_epoch(state, frozen, jax.random.fold_in(key, e))
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for e in range(MEASURE_EPOCHS):
+        state, loss = trainer.run_epoch(
+            state, frozen, jax.random.fold_in(key, 100 + e)
+        )
+    jax.block_until_ready(loss)
+    elapsed = time.time() - t0
+
+    triples = MEASURE_EPOCHS * trainer.steps_per_epoch * BATCH
+    tps = triples / elapsed
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_SELF.json"
+    )
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)["reference_cpu_triples_per_sec"]
+        vs = tps / ref
+
+    print(
+        json.dumps(
+            {
+                "metric": "bpr_triples_per_sec_per_chip",
+                "value": round(tps, 1),
+                "unit": "triples/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

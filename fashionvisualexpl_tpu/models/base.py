@@ -48,6 +48,12 @@ def normal_init(
     return stddev * jax.random.normal(key, shape, jnp.float32)
 
 
+def default_take(name: str, arr: jax.Array, ids: jax.Array) -> jax.Array:
+    """Single-device table lookup: plain row gather (name is advisory)."""
+    del name
+    return jnp.take(arr, ids, axis=0)
+
+
 class RecommenderModel:
     """Base interface.  Concrete models implement:
 
@@ -56,6 +62,14 @@ class RecommenderModel:
     - loss(params, frozen, users, pos, neg, reg) -> scalar training loss
     - predict_all(params, frozen) -> [U, I] full score matrix
     - predict_user_block(params, frozen, user_ids) -> [B_u, I] score rows
+
+    Table access inside `loss` goes through ``self.take(name, arr, ids)`` so
+    the SPMD engine (parallel/spmd.py) can swap in a collective
+    local-gather + psum lookup for row-sharded tables without touching model
+    code.  ``row_sharded_params()`` names the tables that shard over the
+    `model` mesh axis; ``global_reg_scale`` divides whole-matrix
+    regularization terms so they are counted once across data-parallel
+    replicas (batch-row reg terms sum correctly on their own).
     """
 
     name: str = "base"
@@ -63,6 +77,12 @@ class RecommenderModel:
     def __init__(self, num_users: int, num_items: int):
         self.num_users = num_users
         self.num_items = num_items
+        self.take = default_take
+        self.global_reg_scale = 1.0
+
+    def row_sharded_params(self) -> tuple:
+        """Names (in params/frozen) of tables row-sharded over `model`."""
+        return ()
 
     def init(self, rng: jax.Array) -> Tuple[Params, Frozen]:
         raise NotImplementedError

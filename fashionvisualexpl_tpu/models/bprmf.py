@@ -46,12 +46,15 @@ class BPRMF(RecommenderModel):
         gamma_i = jnp.take(params["Gi"], items, axis=0)
         return beta_i + jnp.sum(gamma_u * gamma_i, axis=1)
 
+    def row_sharded_params(self):
+        return ("Bi", "Gu", "Gi")
+
     def loss(self, params, frozen, users, pos, neg, reg):
-        gamma_u = jnp.take(params["Gu"], users, axis=0)
-        beta_pos = jnp.take(params["Bi"], pos)
-        gamma_pos = jnp.take(params["Gi"], pos, axis=0)
-        beta_neg = jnp.take(params["Bi"], neg)
-        gamma_neg = jnp.take(params["Gi"], neg, axis=0)
+        gamma_u = self.take("Gu", params["Gu"], users)
+        beta_pos = self.take("Bi", params["Bi"], pos)
+        gamma_pos = self.take("Gi", params["Gi"], pos)
+        beta_neg = self.take("Bi", params["Bi"], neg)
+        gamma_neg = self.take("Gi", params["Gi"], neg)
 
         x_pos = beta_pos + jnp.sum(gamma_u * gamma_pos, axis=1)
         x_neg = beta_neg + jnp.sum(gamma_u * gamma_neg, axis=1)

@@ -75,15 +75,18 @@ class VBPR(RecommenderModel):
             + (f_i @ params["Bp"])[:, 0]
         )
 
+    def row_sharded_params(self):
+        return ("Bi", "Gu", "Gi", "Tu", "F")
+
     def loss(self, params, frozen, users, pos, neg, reg):
-        gamma_u = jnp.take(params["Gu"], users, axis=0)
-        theta_u = jnp.take(params["Tu"], users, axis=0)
-        beta_pos = jnp.take(params["Bi"], pos)
-        beta_neg = jnp.take(params["Bi"], neg)
-        gamma_pos = jnp.take(params["Gi"], pos, axis=0)
-        gamma_neg = jnp.take(params["Gi"], neg, axis=0)
-        f_pos = jnp.take(frozen["F"], pos, axis=0)
-        f_neg = jnp.take(frozen["F"], neg, axis=0)
+        gamma_u = self.take("Gu", params["Gu"], users)
+        theta_u = self.take("Tu", params["Tu"], users)
+        beta_pos = self.take("Bi", params["Bi"], pos)
+        beta_neg = self.take("Bi", params["Bi"], neg)
+        gamma_pos = self.take("Gi", params["Gi"], pos)
+        gamma_neg = self.take("Gi", params["Gi"], neg)
+        f_pos = self.take("F", frozen["F"], pos)
+        f_neg = self.take("F", frozen["F"], neg)
 
         vis_u = theta_u  # [B, d]
         x_pos = (
@@ -113,7 +116,11 @@ class VBPR(RecommenderModel):
             * 2.0
             + reg * l2_loss(beta_pos) * 2.0
             + reg * l2_loss(beta_neg) * 2.0 / 10.0
-            + reg * (l2_loss(params["E"]) + l2_loss(params["Bp"])) * 2.0
+            # whole-matrix terms: counted once across data-parallel replicas
+            + self.global_reg_scale
+            * reg
+            * (l2_loss(params["E"]) + l2_loss(params["Bp"]))
+            * 2.0
         )
         return loss + reg_loss
 

@@ -1,0 +1,133 @@
+"""SPMD path: sharded training must match the single-device path numerically
+(SURVEY.md §4 distributed criterion — virtual 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fashionvisualexpl_tpu.core.mesh import make_mesh
+from fashionvisualexpl_tpu.core.train_state import create_train_state, tf_parity_adam
+from fashionvisualexpl_tpu.data.features import synthetic_features
+from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+from fashionvisualexpl_tpu.models.bprmf import BPRMF
+from fashionvisualexpl_tpu.models.vbpr import VBPR
+from fashionvisualexpl_tpu.parallel.spmd import (
+    collective_take,
+    make_spmd_train_step,
+    pad_rows_to_multiple,
+    shard_params,
+)
+
+
+def _batches(rng, data, n_steps, batch):
+    out = []
+    for _ in range(n_steps):
+        idx = rng.integers(0, data.num_train, batch)
+        users = data.train_pairs[idx, 0]
+        pos = data.train_pairs[idx, 1]
+        neg = rng.integers(0, data.num_items, batch).astype(np.int32)
+        # crude but valid negatives for an equivalence test: resample clashes
+        for b in range(batch):
+            while neg[b] in data.training_list[users[b]]:
+                neg[b] = rng.integers(0, data.num_items)
+        out.append((users, pos, neg))
+    return out
+
+
+def _run_reference(model, data, batches, reg, lr, rng_key):
+    tx = tf_parity_adam(lr)
+    params, frozen = model.init(rng_key)
+    state = create_train_state(params, tx)
+    losses = []
+    for u, p, n in batches:
+        def loss_fn(prm):
+            return model.loss(prm, frozen, jnp.asarray(u), jnp.asarray(p),
+                              jnp.asarray(n), reg)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        from fashionvisualexpl_tpu.core.train_state import apply_gradients
+        state = apply_gradients(state, grads, tx)
+        losses.append(float(loss))
+    return state, losses
+
+
+def _run_spmd(model, data, batches, reg, lr, rng_key, mesh):
+    tx = tf_parity_adam(lr)
+    params, frozen = model.init(rng_key)
+    params, frozen = shard_params(model, params, frozen, mesh)
+    state = create_train_state(params, tx)
+    step = make_spmd_train_step(model, mesh, tx, reg)
+    losses = []
+    for u, p, n in batches:
+        state, loss = step(
+            state, frozen, jnp.asarray(u), jnp.asarray(p), jnp.asarray(n)
+        )
+        losses.append(float(loss))
+    return state, losses
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8)])
+def test_bprmf_spmd_matches_single_device(mesh_shape):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+    data = synthetic_interactions(24, 40, interactions_per_user=8, seed=0)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    rng = np.random.default_rng(0)
+    batches = _batches(rng, data, n_steps=4, batch=16)
+    key = jax.random.PRNGKey(0)
+
+    ref_state, ref_losses = _run_reference(model, data, batches, 0.01, 0.01, key)
+    spmd_state, spmd_losses = _run_spmd(model, data, batches, 0.01, 0.01, key, mesh)
+
+    np.testing.assert_allclose(ref_losses, spmd_losses, rtol=2e-4)
+    for k in ("Bi", "Gu", "Gi"):
+        ref = np.asarray(ref_state.params[k])
+        got = np.asarray(spmd_state.params[k])[: ref.shape[0]]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_vbpr_spmd_matches_single_device():
+    mesh = make_mesh(data=2, model=4)
+    data = synthetic_interactions(16, 24, interactions_per_user=6, seed=1)
+    feats = synthetic_features(data.num_items, 12, seed=2)
+    model = VBPR(data.num_users, data.num_items, feats, embed_k=8, embed_d=4)
+    rng = np.random.default_rng(1)
+    batches = _batches(rng, data, n_steps=3, batch=8)
+    key = jax.random.PRNGKey(1)
+
+    ref_state, ref_losses = _run_reference(model, data, batches, 0.02, 0.01, key)
+    spmd_state, spmd_losses = _run_spmd(model, data, batches, 0.02, 0.01, key, mesh)
+
+    np.testing.assert_allclose(ref_losses, spmd_losses, rtol=2e-4)
+    for k in ("Bi", "Gu", "Gi", "Tu", "E", "Bp"):
+        ref = np.asarray(ref_state.params[k])
+        got = np.asarray(spmd_state.params[k])[: ref.shape[0]]
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_collective_take_matches_plain_gather():
+    mesh = make_mesh(data=1, model=8)
+    table = np.arange(64, dtype=np.float32).reshape(16, 4)
+    ids = np.array([0, 3, 15, 7, 7, 12], dtype=np.int32)
+
+    take = collective_take(("T",))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        lambda t, i: take("T", t, i),
+        mesh=mesh,
+        in_specs=(P("model", None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = np.asarray(fn(jnp.asarray(table), jnp.asarray(ids)))
+    np.testing.assert_allclose(got, table[ids])
+
+
+def test_pad_rows():
+    a = np.ones((10, 3))
+    p = pad_rows_to_multiple(a, 4)
+    assert p.shape == (12, 3)
+    assert p[10:].sum() == 0
+    assert pad_rows_to_multiple(a, 5).shape == (10, 3)

@@ -70,9 +70,9 @@ class Evaluator:
 
     # --- core ---
 
-    def _eval_block_impl(self, split, params, frozen, user_ids):
+    def _eval_block_impl(self, split, params, frozen, user_ids, ctx):
         """Score one user block and compute its per-user metrics."""
-        scores = self.model.predict_user_block(params, frozen, user_ids)
+        scores = self.model.predict_user_block(params, frozen, user_ids, ctx)
         train_mask = jnp.take(self._train_mask, user_ids, axis=0)
         if split == "val":
             items = jnp.take(self._val_items, user_ids, axis=0)
@@ -82,14 +82,16 @@ class Evaluator:
             counts = jnp.take(self._test_counts, user_ids)
         return eval_users(scores, train_mask, items, counts, self.k)
 
-    def _eval_split(self, split: str, params, frozen) -> MeanMetrics:
+    def _eval_split(self, split: str, params, frozen, ctx=None) -> MeanMetrics:
         U = self.data.num_users
         per_user = []
+        if ctx is None:
+            ctx = self.model.precompute_eval(params, frozen)
         for start in _block_starts(U, self.user_block):
             # fixed block shape (wrap-around tail) keeps XLA to one compile
             idx = (np.arange(self.user_block) + start) % U
             valid_in_block = np.arange(self.user_block) + start < U
-            m = self._eval_block(split, params, frozen, jnp.asarray(idx))
+            m = self._eval_block(split, params, frozen, jnp.asarray(idx), ctx)
             m = m._replace(valid=jnp.logical_and(m.valid, jnp.asarray(valid_in_block)))
             per_user.append(m)
         cat = type(per_user[0])(*[jnp.concatenate(f) for f in zip(*per_user)])
@@ -99,13 +101,14 @@ class Evaluator:
         """Metrics for validation (if present) and test, with the reference's
         results-dict schema (Evaluator.py:216-221, auc_t bug fixed)."""
         out: Dict[str, float] = {}
-        t = self._eval_split("test", params, frozen)
+        ctx = self.model.precompute_eval(params, frozen)
+        t = self._eval_split("test", params, frozen, ctx)
         out.update(
             hr_t=float(t.hr), p_t=float(t.prec), r_t=float(t.rec),
             auc_t=float(t.auc), ndcg_t=float(t.ndcg),
         )
         if self._val_items is not None:
-            v = self._eval_split("val", params, frozen)
+            v = self._eval_split("val", params, frozen, ctx)
             out.update(
                 hr_v=float(v.hr), p_v=float(v.prec), r_v=float(v.rec),
                 auc_v=float(v.auc), ndcg_v=float(v.ndcg),
@@ -143,11 +146,12 @@ class Evaluator:
         """Plain top-k TSV: `user\\titem\\tscore` rows, train items masked
         (Evaluator.py:225-239)."""
         U = self.data.num_users
+        ctx = self.model.precompute_eval(params, frozen)
         with open(path, "w") as out:
             for start in _block_starts(U, self.user_block):
                 idx = (np.arange(self.user_block) + start) % U
                 scores = self.model.predict_user_block(
-                    params, frozen, jnp.asarray(idx)
+                    params, frozen, jnp.asarray(idx), ctx
                 )
                 tmask = jnp.take(self._train_mask, jnp.asarray(idx), axis=0)
                 top_idx, top_scores = topk_recommendations(scores, tmask, self.k)
@@ -171,11 +175,12 @@ class Evaluator:
         attention_fn(params, frozen, user_ids) -> [B, I, 3] modality weights.
         """
         U = self.data.num_users
+        ctx = self.model.precompute_eval(params, frozen)
         with open(path, "w") as out:
             for start in _block_starts(U, self.user_block):
                 idx = (np.arange(self.user_block) + start) % U
                 scores = self.model.predict_user_block(
-                    params, frozen, jnp.asarray(idx)
+                    params, frozen, jnp.asarray(idx), ctx
                 )
                 att = attention_fn(params, frozen, jnp.asarray(idx))
                 tmask = jnp.take(self._train_mask, jnp.asarray(idx), axis=0)

@@ -1,0 +1,295 @@
+"""AttentiveFashion: trainable per-modality encoders + attention fusion.
+
+Capability parity with reference src/recommender/models/AttentiveFashion.py
+(the reference's default model, train_rec.py:22):
+
+- color encoder: Dense(256, relu) -> Dropout(0.5) -> Dense(K, no bias)
+  (AttentiveFashion.py:50-55)
+- edges encoder: Conv2D(64, 5x5, same, relu) -> MaxPool(2x2, same) ->
+  GlobalAvgPool -> Dropout(0.5) -> Dense(K, no bias) (:57-64)
+- class encoder: same MLP shape as color (:66-71)
+- attention over the 3 user-gated modality embeddings: relu((gamma_u (x) e_m)
+  W1 + b1) -> ... -> softmax over modalities (:121-166)
+- score x_ui = sum(gamma_u * (sum_m alpha_m e_m) * gamma_i) (:193-199)
+- reg on batch embeddings, ENCODER OUTPUT activations, and the attention
+  matrices (:228-243)
+
+TPU-first redesign of the two pathologies SURVEY.md flags:
+- the reference re-encodes every item for EVERY user during eval
+  (predict_all_batch, :333-371, O(U x I) encoder calls).  Here items are
+  encoded ONCE per evaluation (precompute_eval) and scoring runs blocked
+  user x item attention on the cached [I, 3, K] tensor;
+- the reference streams images through tf.py_function per triplet
+  (dataset.py:124-139).  Here modality inputs live in the `frozen` pytree
+  as dense device arrays (edge maps [I, H, W, 1]); a host-streaming variant
+  for catalogs too large for HBM plugs in at the same interface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashionvisualexpl_tpu.models.base import (
+    Frozen,
+    Params,
+    RecommenderModel,
+    bpr_pairwise_loss,
+    glorot_uniform,
+    l2_loss,
+)
+
+
+def _dropout(x, rate, rng):
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class AttentiveFashion(RecommenderModel):
+    name = "attentive_fashion"
+
+    def __init__(
+        self,
+        num_users: int,
+        num_items: int,
+        color_features: np.ndarray,  # [I, dim_c] maxabs-normalized histograms
+        edge_images: np.ndarray,  # [I, H, W, 1] float in [0,1]
+        class_features: np.ndarray,  # [I, num_classes] one-hot
+        embed_k: int = 128,
+        attention_layers: Tuple[int, ...] = (64, 1),
+        encoder_hidden: int = 256,
+        dropout_rate: float = 0.5,
+        conv_filters: int = 64,
+        item_block: int = 1024,
+    ):
+        super().__init__(num_users, num_items)
+        for f, nm in (
+            (color_features, "color"), (edge_images, "edges"),
+            (class_features, "class"),
+        ):
+            if f.shape[0] != num_items:
+                raise ValueError(f"{nm} features rows != num_items")
+        self.embed_k = embed_k
+        self.attention_layers = tuple(attention_layers)
+        if self.attention_layers[-1] != 1:
+            raise ValueError("last attention layer must have width 1")
+        self.encoder_hidden = encoder_hidden
+        self.dropout_rate = dropout_rate
+        self.conv_filters = conv_filters
+        self.item_block = item_block
+        self.dim_c = int(color_features.shape[1])
+        self.dim_cls = int(class_features.shape[1])
+        self._color = np.asarray(color_features, np.float32)
+        self._edges = np.asarray(edge_images, np.float32)
+        self._class = np.asarray(class_features, np.float32)
+
+    def row_sharded_params(self):
+        return ("Gu", "Gi")
+
+    def init(self, rng: jax.Array) -> Tuple[Params, Frozen]:
+        ks = iter(jax.random.split(rng, 16))
+        K, H = self.embed_k, self.encoder_hidden
+        params = {
+            "Gu": glorot_uniform(next(ks), (self.num_users, K)),
+            "Gi": glorot_uniform(next(ks), (self.num_items, K)),
+            "color_enc": {
+                "W1": glorot_uniform(next(ks), (self.dim_c, H)),
+                "b1": jnp.zeros((H,), jnp.float32),
+                "W2": glorot_uniform(next(ks), (H, K)),
+            },
+            "class_enc": {
+                "W1": glorot_uniform(next(ks), (self.dim_cls, H)),
+                "b1": jnp.zeros((H,), jnp.float32),
+                "W2": glorot_uniform(next(ks), (H, K)),
+            },
+            "edges_enc": {
+                "conv_W": glorot_uniform(
+                    next(ks), (5, 5, 1, self.conv_filters)
+                ),
+                "conv_b": jnp.zeros((self.conv_filters,), jnp.float32),
+                "W2": glorot_uniform(next(ks), (self.conv_filters, K)),
+            },
+            "attention": self._init_attention(next(ks)),
+        }
+        frozen = {
+            "Fc": jnp.asarray(self._color),
+            "Fe_img": jnp.asarray(self._edges),
+            "Fcls": jnp.asarray(self._class),
+        }
+        return params, frozen
+
+    def _init_attention(self, rng):
+        ws = {}
+        keys = jax.random.split(rng, 2 * len(self.attention_layers))
+        prev = self.embed_k
+        for l, width in enumerate(self.attention_layers):
+            ws[f"W{l + 1}"] = glorot_uniform(keys[2 * l], (prev, width))
+            ws[f"b{l + 1}"] = glorot_uniform(
+                keys[2 * l + 1], (1, width)
+            )[0]  # GlorotUniform on a vector, like the reference (:131-143)
+            prev = width
+        return ws
+
+    # --- encoders ---
+
+    def _mlp_encode(self, enc, x, rng):
+        h = jax.nn.relu(x @ enc["W1"] + enc["b1"])
+        h = _dropout(h, self.dropout_rate, rng)
+        return h @ enc["W2"]
+
+    def _edges_encode(self, enc, images, rng):
+        """Conv(5x5, same, relu) -> MaxPool(2x2, same) -> GAP -> Dropout ->
+        Dense (AttentiveFashion.py:57-64).  NHWC, MXU-friendly conv."""
+        y = jax.lax.conv_general_dilated(
+            images, enc["conv_W"],
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + enc["conv_b"]
+        y = jax.nn.relu(y)
+        y = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+            padding="SAME",
+        )
+        y = jnp.mean(y, axis=(1, 2))  # GAP -> [B, filters]
+        y = _dropout(y, self.dropout_rate, rng)
+        return y @ enc["W2"]
+
+    def encode_items(self, params, frozen, item_ids=None, rng=None):
+        """[N, 3, K] stacked (color, edges, class) embeddings.
+
+        The modality order matches the reference's concat order
+        (colors, edges, classes — AttentiveFashion.py:195-198)."""
+        if item_ids is None:
+            col, img, cls = frozen["Fc"], frozen["Fe_img"], frozen["Fcls"]
+        else:
+            col = jnp.take(frozen["Fc"], item_ids, axis=0)
+            img = jnp.take(frozen["Fe_img"], item_ids, axis=0)
+            cls = jnp.take(frozen["Fcls"], item_ids, axis=0)
+        rngs = (None, None, None) if rng is None else jax.random.split(rng, 3)
+        color_e = self._mlp_encode(params["color_enc"], col, rngs[0])
+        edges_e = self._edges_encode(params["edges_enc"], img, rngs[1])
+        class_e = self._mlp_encode(params["class_enc"], cls, rngs[2])
+        return jnp.stack([color_e, edges_e, class_e], axis=-2)  # [N, 3, K]
+
+    # --- attention (AttentiveFashion.py:146-166) ---
+
+    def _attention(self, params, gamma_u, e_items):
+        """alpha over modalities.  gamma_u [..., K], e_items [..., 3, K] ->
+        alpha [..., 3, 1]."""
+        att = params["attention"]
+        h = gamma_u[..., None, :] * e_items  # user-gated modalities
+        for l in range(len(self.attention_layers)):
+            h = h @ att[f"W{l + 1}"] + att[f"b{l + 1}"]
+            if l == 0:
+                h = jax.nn.relu(h)
+        return jax.nn.softmax(h, axis=-2)  # softmax over the modality axis
+
+    def _score_from_encoded(self, params, gamma_u, gamma_i, e_items):
+        alpha = self._attention(params, gamma_u, e_items)
+        weighted = jnp.sum(alpha * e_items, axis=-2)  # [..., K]
+        return jnp.sum(gamma_u * weighted * gamma_i, axis=-1)
+
+    # --- training ---
+
+    def loss(self, params, frozen, users, pos, neg, reg, rng=None):
+        gamma_u = self.take("Gu", params["Gu"], users)
+        rng_pos, rng_neg = (
+            jax.random.split(rng) if rng is not None else (None, None)
+        )
+        gamma_pos = self.take("Gi", params["Gi"], pos)
+        gamma_neg = self.take("Gi", params["Gi"], neg)
+        e_pos = self.encode_items(params, frozen, pos, rng_pos)  # [B, 3, K]
+        e_neg = self.encode_items(params, frozen, neg, rng_neg)
+
+        x_pos = self._score_from_encoded(params, gamma_u, gamma_pos, e_pos)
+        x_neg = self._score_from_encoded(params, gamma_u, gamma_neg, e_neg)
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+
+        att = params["attention"]
+        # AttentiveFashion.py:228-243 — batch embeddings + ENCODER OUTPUT
+        # activations + attention matrices
+        reg_loss = (
+            reg
+            * (
+                l2_loss(gamma_u)
+                + l2_loss(gamma_pos)
+                + l2_loss(gamma_neg)
+                + l2_loss(e_pos)
+                + l2_loss(e_neg)
+            )
+            * 2.0
+            + self.global_reg_scale
+            * reg
+            * sum(l2_loss(v) for v in att.values())
+            * 2.0
+        )
+        return loss + reg_loss
+
+    # --- inference ---
+
+    def score(self, params, frozen, users, items):
+        gamma_u = jnp.take(params["Gu"], users, axis=0)
+        gamma_i = jnp.take(params["Gi"], items, axis=0)
+        e_items = self.encode_items(params, frozen, items)
+        return self._score_from_encoded(params, gamma_u, gamma_i, e_items)
+
+    def precompute_eval(self, params, frozen):
+        """Encode every item once per evaluation (no dropout)."""
+        return self.encode_items(params, frozen)  # [I, 3, K]
+
+    def _scores_against_all(self, params, gamma_u, e_items, Gi):
+        """[B_u, I] scores for a user block against cached item encodings,
+        computed in item blocks to bound the [B_u, I_blk, 3, t] attention
+        intermediate."""
+        I = e_items.shape[0]
+        blk = min(self.item_block, I)
+        n_blocks = -(-I // blk)
+        pad = n_blocks * blk - I
+        e_pad = jnp.pad(e_items, ((0, pad), (0, 0), (0, 0)))
+        gi_pad = jnp.pad(Gi, ((0, pad), (0, 0)))
+        e_blocks = e_pad.reshape(n_blocks, blk, *e_items.shape[1:])
+        gi_blocks = gi_pad.reshape(n_blocks, blk, Gi.shape[1])
+
+        def one_block(args):
+            e_b, gi_b = args  # [blk, 3, K], [blk, K]
+            # broadcast users x items
+            gu = gamma_u[:, None, :]  # [B_u, 1, K]
+            e = e_b[None, :, :, :]  # [1, blk, 3, K]
+            # _attention broadcasts gamma_u[..., None, :] * e -> [B_u, blk, 3, K]
+            alpha = self._attention(params, gu, e)
+            weighted = jnp.sum(alpha * e, axis=-2)  # [B_u, blk, K]
+            return jnp.sum(gu * weighted * gi_b[None, :, :], axis=-1)
+
+        scores = jax.lax.map(one_block, (e_blocks, gi_blocks))  # [n, B_u, blk]
+        scores = jnp.moveaxis(scores, 0, 1).reshape(gamma_u.shape[0], -1)
+        return scores[:, :I]
+
+    def predict_user_block(self, params, frozen, user_ids, ctx=None):
+        e_items = ctx if ctx is not None else self.precompute_eval(params, frozen)
+        gamma_u = jnp.take(params["Gu"], user_ids, axis=0)
+        return self._scores_against_all(
+            params, gamma_u, e_items, params["Gi"]
+        )
+
+    def predict_all(self, params, frozen):
+        ctx = self.precompute_eval(params, frozen)
+        return self.predict_user_block(
+            params, frozen, jnp.arange(self.num_users), ctx
+        )
+
+    def attention_weights(self, params, frozen, user_ids, ctx=None):
+        """[B_u, I, 3] modality attention per user x item — the payload of
+        store_recommendation_attention (Evaluator.py:241-259)."""
+        e_items = ctx if ctx is not None else self.precompute_eval(params, frozen)
+        gamma_u = jnp.take(params["Gu"], user_ids, axis=0)
+        alpha = self._attention(
+            params, gamma_u[:, None, :], e_items[None, :, :, :]
+        )  # [B_u, I, 3, 1]
+        return alpha[..., 0]

@@ -90,15 +90,25 @@ class RecommenderModel:
     def score(self, params, frozen, users, items):
         raise NotImplementedError
 
-    def loss(self, params, frozen, users, pos, neg, reg):
+    def loss(self, params, frozen, users, pos, neg, reg, rng=None):
+        """Training loss.  `rng` is a per-step PRNG key for stochastic layers
+        (dropout); models without stochastic layers ignore it."""
         raise NotImplementedError
+
+    def precompute_eval(self, params, frozen):
+        """Optional once-per-evaluation precomputation (e.g. encode all items
+        once — the fix for the reference's O(U x I) encoder re-execution,
+        AttentiveFashion.py:338-367).  Returned value is passed to
+        predict_user_block as `ctx`."""
+        return None
 
     def predict_all(self, params, frozen):
         raise NotImplementedError
 
-    def predict_user_block(self, params, frozen, user_ids):
+    def predict_user_block(self, params, frozen, user_ids, ctx=None):
         """Default: slice users out of the model's full-matrix formula.
 
         Models with factored score structure override this to compute only the
         requested rows (every built-in model does)."""
+        del ctx
         return jnp.take(self.predict_all(params, frozen), user_ids, axis=0)

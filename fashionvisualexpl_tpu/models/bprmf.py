@@ -49,7 +49,7 @@ class BPRMF(RecommenderModel):
     def row_sharded_params(self):
         return ("Bi", "Gu", "Gi")
 
-    def loss(self, params, frozen, users, pos, neg, reg):
+    def loss(self, params, frozen, users, pos, neg, reg, rng=None):
         gamma_u = self.take("Gu", params["Gu"], users)
         beta_pos = self.take("Bi", params["Bi"], pos)
         gamma_pos = self.take("Gi", params["Gi"], pos)
@@ -71,6 +71,6 @@ class BPRMF(RecommenderModel):
     def predict_all(self, params, frozen):
         return params["Bi"][None, :] + params["Gu"] @ params["Gi"].T
 
-    def predict_user_block(self, params, frozen, user_ids):
+    def predict_user_block(self, params, frozen, user_ids, ctx=None):
         gu = jnp.take(params["Gu"], user_ids, axis=0)
         return params["Bi"][None, :] + gu @ params["Gi"].T

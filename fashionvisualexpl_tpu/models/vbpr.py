@@ -78,7 +78,7 @@ class VBPR(RecommenderModel):
     def row_sharded_params(self):
         return ("Bi", "Gu", "Gi", "Tu", "F")
 
-    def loss(self, params, frozen, users, pos, neg, reg):
+    def loss(self, params, frozen, users, pos, neg, reg, rng=None):
         gamma_u = self.take("Gu", params["Gu"], users)
         theta_u = self.take("Tu", params["Tu"], users)
         beta_pos = self.take("Bi", params["Bi"], pos)
@@ -139,7 +139,7 @@ class VBPR(RecommenderModel):
             + vis_bias[None, :]
         )
 
-    def predict_user_block(self, params, frozen, user_ids):
+    def predict_user_block(self, params, frozen, user_ids, ctx=None):
         theta_i, vis_bias = self.item_factors(params, frozen)
         gu = jnp.take(params["Gu"], user_ids, axis=0)
         tu = jnp.take(params["Tu"], user_ids, axis=0)

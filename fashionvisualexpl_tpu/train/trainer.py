@@ -79,22 +79,26 @@ class Trainer:
 
         def epoch_fn(state: TrainState, frozen, key,
                      train_pairs, padded_pos, pos_counts):
+            sample_key, step_key = jax.random.split(key)
             users, pos, neg = sample_triplets(
-                key, train_pairs, padded_pos, pos_counts,
+                sample_key, train_pairs, padded_pos, pos_counts,
                 num_items, steps, batch,
             )
+            step_keys = jax.random.split(step_key, steps)
 
             def body(st, step_batch):
-                u, p, n = step_batch
+                u, p, n, k = step_batch
 
                 def loss_fn(params):
-                    return model.loss(params, frozen, u, p, n, reg)
+                    return model.loss(params, frozen, u, p, n, reg, rng=k)
 
                 loss, grads = jax.value_and_grad(loss_fn)(st.params)
                 st = apply_gradients(st, grads, tx)
                 return st, loss
 
-            state, losses = jax.lax.scan(body, state, (users, pos, neg))
+            state, losses = jax.lax.scan(
+                body, state, (users, pos, neg, step_keys)
+            )
             return state, jnp.sum(losses)
 
         return jax.jit(epoch_fn, donate_argnums=(0,))

@@ -1,0 +1,253 @@
+"""ACF: Attentive Collaborative Filtering (Chen et al., SIGIR'17).
+
+Capability parity with reference src/recommender/models/ACF.py — component-
+level attention over per-item spatial CNN feature maps (ACF.py:135-162),
+item-level attention over the user's positive items (ACF.py:164-179), user
+profile gamma_u + sum(alpha * p_i), scoring <gamma_u_p, gamma_i> (ACF.py:208).
+
+TPU-first redesign of the reference's pathologies: the reference loads each
+positive item's spatial .npy from DISK inside call() (ACF.py:140-150) and
+fans per-user work over a ThreadPoolExecutor (ACF.py:205-206) — here spatial
+features are a device-resident [I, S, C] tensor in `frozen`, user positives
+are a padded fixed-shape [U, P] table, and the whole batch's two-level
+attention runs as one XLA program with masked softmax over the padding.
+
+The positive-set cap P (`max_user_pos`) subsamples users with more positives
+than P (the reference uses all, with ragged shapes XLA cannot compile).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashionvisualexpl_tpu.data.interactions import Interactions
+from fashionvisualexpl_tpu.models.base import (
+    Frozen,
+    Params,
+    RecommenderModel,
+    bpr_pairwise_loss,
+    glorot_uniform,
+    l2_loss,
+    normal_init,
+)
+
+NEG_BIG = -1e9
+
+
+def _pad_user_pos(
+    user_lists: Sequence[Sequence[int]], width: int, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[U, width] padded (subsampled if longer) positive ids + counts."""
+    U = len(user_lists)
+    out = np.zeros((U, width), dtype=np.int32)
+    counts = np.zeros((U,), dtype=np.int32)
+    for u, row in enumerate(user_lists):
+        row = list(row)
+        if len(row) > width:
+            row = rng.choice(row, size=width, replace=False).tolist()
+        counts[u] = len(row)
+        out[u, : len(row)] = row
+    return out, counts
+
+
+class ACF(RecommenderModel):
+    name = "acf"
+
+    def __init__(
+        self,
+        num_users: int,
+        num_items: int,
+        spatial_features: np.ndarray,  # [I, S, C] per-item spatial CNN maps
+        data: Interactions,
+        embed_k: int = 128,
+        layers_component: Tuple[int, ...] = (64, 1),
+        layers_item: Tuple[int, ...] = (64, 1),
+        max_user_pos: int = 64,
+        seed: int = 0,
+    ):
+        super().__init__(num_users, num_items)
+        if spatial_features.shape[0] != num_items:
+            raise ValueError("spatial features rows != num_items")
+        if layers_component[-1] != 1 or layers_item[-1] != 1:
+            raise ValueError("last attention layer width must be 1")
+        self.embed_k = embed_k
+        self.layers_component = tuple(layers_component)
+        self.layers_item = tuple(layers_item)
+        self.S = int(spatial_features.shape[1])
+        self.C = int(spatial_features.shape[2])
+        self._spatial = np.asarray(spatial_features, np.float32)
+
+        rng = np.random.default_rng(seed)
+        # train-time profile uses train positives (ACF.py:201-203);
+        # eval profile uses train+validation positives (ACF.py:216-218)
+        self._pos_train, self._cnt_train = _pad_user_pos(
+            data.training_list, max_user_pos, rng
+        )
+        eval_lists = [
+            list(t) + list(v)
+            for t, v in zip(data.training_list, data.validation_list)
+        ]
+        self._pos_eval, self._cnt_eval = _pad_user_pos(
+            eval_lists, max_user_pos, rng
+        )
+
+    def row_sharded_params(self):
+        return ("Gu", "Gi", "Pi")
+
+    def init(self, rng: jax.Array) -> Tuple[Params, Frozen]:
+        ks = iter(jax.random.split(rng, 32))
+        K, C = self.embed_k, self.C
+        params = {
+            "Gu": normal_init(next(ks), (self.num_users, K)),
+            "Gi": normal_init(next(ks), (self.num_items, K)),
+            "Pi": normal_init(next(ks), (self.num_items, K)),
+        }
+        comp = {}
+        for c, width in enumerate(self.layers_component):
+            if c == 0:
+                comp["W0_u"] = glorot_uniform(next(ks), (K, width))
+                comp["W0_i"] = glorot_uniform(next(ks), (C, width))
+                comp["b0"] = glorot_uniform(next(ks), (1, width))[0]
+            else:
+                comp[f"W{c}"] = glorot_uniform(
+                    next(ks), (width, self.layers_component[c - 1])
+                )
+                comp[f"b{c}"] = glorot_uniform(next(ks), (1, width))[0]
+        item = {}
+        for i, width in enumerate(self.layers_item):
+            if i == 0:
+                item["W0_u"] = glorot_uniform(next(ks), (K, width))
+                item["W0_iv"] = glorot_uniform(next(ks), (K, width))
+                item["W0_ip"] = glorot_uniform(next(ks), (K, width))
+                item["W0_ix"] = glorot_uniform(next(ks), (C, width))
+                item["b0"] = glorot_uniform(next(ks), (1, width))[0]
+            else:
+                item[f"W{i}"] = glorot_uniform(
+                    next(ks), (width, self.layers_item[i - 1])
+                )
+                item[f"b{i}"] = glorot_uniform(next(ks), (1, width))[0]
+        params["comp"] = comp
+        params["item"] = item
+
+        frozen = {
+            "Fspat": jnp.asarray(self._spatial),
+            "pos_train": jnp.asarray(self._pos_train),
+            "cnt_train": jnp.asarray(self._cnt_train),
+            "pos_eval": jnp.asarray(self._pos_eval),
+            "cnt_eval": jnp.asarray(self._cnt_eval),
+        }
+        return params, frozen
+
+    # --- the two-level attentive user profile (ACF.py:135-181) ---
+
+    def user_profile(self, params, frozen, users, train_only=True):
+        """gamma_u + sum_p alpha_p p_i over the user's positives.  [B, K]."""
+        pos_key = "pos_train" if train_only else "pos_eval"
+        cnt_key = "cnt_train" if train_only else "cnt_eval"
+        pos = jnp.take(frozen[pos_key], users, axis=0)  # [B, P]
+        cnt = jnp.take(frozen[cnt_key], users)  # [B]
+        g_u = jnp.take(params["Gu"], users, axis=0)  # [B, K]
+        f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
+
+        comp = params["comp"]
+        # component attention: softmax over the spatial axis S (ACF.py:152-162)
+        b = (
+            (g_u @ comp["W0_u"])[:, None, None, :]
+            + jnp.einsum("bpsc,ct->bpst", f, comp["W0_i"])
+            + comp["b0"]
+        )
+        b = jax.nn.relu(b)
+        for c in range(1, len(self.layers_component)):
+            b = jnp.einsum("bpst,ut->bpsu", b, comp[f"W{c}"]) + comp[f"b{c}"]
+        beta = jax.nn.softmax(b[..., 0], axis=2)  # [B, P, S]
+        x_l = jnp.einsum("bps,bpsc->bpc", beta, f)  # [B, P, C]
+
+        item = params["item"]
+        g_i = jnp.take(params["Gi"], pos, axis=0)  # [B, P, K]
+        p_i = jnp.take(params["Pi"], pos, axis=0)  # [B, P, K]
+        a = (
+            (g_u @ item["W0_u"])[:, None, :]
+            + g_i @ item["W0_iv"]
+            + p_i @ item["W0_ip"]
+            + x_l @ item["W0_ix"]
+            + item["b0"]
+        )
+        a = jax.nn.relu(a)
+        for i in range(1, len(self.layers_item)):
+            a = jnp.einsum("bpt,ut->bpu", a, item[f"W{i}"]) + item[f"b{i}"]
+        logits = a[..., 0]  # [B, P]
+        # mask padded positives out of the item-level softmax (ACF.py:177)
+        valid = jnp.arange(logits.shape[1])[None, :] < cnt[:, None]
+        alpha = jax.nn.softmax(jnp.where(valid, logits, NEG_BIG), axis=1)
+        alpha = jnp.where(valid, alpha, 0.0)
+        profile = jnp.einsum("bp,bpk->bk", alpha, p_i)
+        # users with zero positives keep their plain embedding
+        profile = jnp.where(cnt[:, None] > 0, profile, 0.0)
+        return g_u + profile
+
+    # --- scoring / training ---
+
+    def score(self, params, frozen, users, items, train_only=True):
+        g_u_p = self.user_profile(params, frozen, users, train_only)
+        gamma_i = jnp.take(params["Gi"], items, axis=0)
+        return jnp.sum(g_u_p * gamma_i, axis=-1)
+
+    def loss(self, params, frozen, users, pos, neg, reg, rng=None):
+        g_u_p = self.user_profile(params, frozen, users, train_only=True)
+        gamma_u = self.take("Gu", params["Gu"], users)
+        gamma_pos = self.take("Gi", params["Gi"], pos)
+        gamma_neg = self.take("Gi", params["Gi"], neg)
+        p_pos = self.take("Pi", params["Pi"], pos)
+        p_neg = self.take("Pi", params["Pi"], neg)
+
+        x_pos = jnp.sum(g_u_p * gamma_pos, axis=1)
+        x_neg = jnp.sum(g_u_p * gamma_neg, axis=1)
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+
+        att_l2 = sum(l2_loss(v) for v in params["comp"].values()) + sum(
+            l2_loss(v) for v in params["item"].values()
+        )
+        # ACF.py:247-256 — batch embeddings + ALL attention matrices
+        reg_loss = (
+            reg
+            * (
+                l2_loss(gamma_u)
+                + l2_loss(gamma_pos)
+                + l2_loss(gamma_neg)
+                + l2_loss(p_pos)
+                + l2_loss(p_neg)
+            )
+            * 2.0
+            + self.global_reg_scale * reg * att_l2 * 2.0
+        )
+        return loss + reg_loss
+
+    # --- eval ---
+
+    def precompute_eval(self, params, frozen):
+        """Attentive profiles for all users, computed once per evaluation in
+        user blocks (the reference recomputes them in a thread pool per
+        predict_all call, ACF.py:213-224)."""
+        U = self.num_users
+        blk = 256
+        n_blocks = -(-U // blk)
+        ids = jnp.arange(n_blocks * blk) % U
+
+        def one(block_ids):
+            return self.user_profile(params, frozen, block_ids, train_only=False)
+
+        profiles = jax.lax.map(one, ids.reshape(n_blocks, blk))
+        return profiles.reshape(-1, self.embed_k)[:U]
+
+    def predict_user_block(self, params, frozen, user_ids, ctx=None):
+        profiles = ctx if ctx is not None else self.precompute_eval(params, frozen)
+        gu_p = jnp.take(profiles, user_ids, axis=0)
+        return gu_p @ params["Gi"].T
+
+    def predict_all(self, params, frozen):
+        ctx = self.precompute_eval(params, frozen)
+        return ctx @ params["Gi"].T

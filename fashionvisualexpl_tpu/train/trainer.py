@@ -125,6 +125,8 @@ def fit(
     evaluator=None,
     rng: Optional[jax.Array] = None,
     log: Optional[Callable[[Dict[str, Any]], None]] = None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> Tuple[TrainState, Any, Dict[int, Dict[str, float]], List[EpochResult]]:
     """Full training run with per-epoch eval and best-model tracking.
 
@@ -133,11 +135,26 @@ def fit(
     Best-model selection follows the reference (BPRMF.py:150-156): argmax of
     the validation `best_metric`, ties resolved to the LATEST epoch (the
     reference uses `<=`).
+
+    With `ckpt_dir`, the train state is checkpointed every `cfg.verbose`
+    epochs (reference BPRMF.py:158-160 cadence) and the best params at the
+    end; `resume=True` restores the latest checkpoint and continues — the
+    capability the reference's --restore_epochs flag never implemented.
     """
     trainer = Trainer(model, data, cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     init_rng, epoch_rng = jax.random.split(rng)
     state, frozen = trainer.init_state(init_rng)
+
+    ckpt = None
+    start_epoch = 1
+    if ckpt_dir is not None:
+        from fashionvisualexpl_tpu.core.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(ckpt_dir)
+        if resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            start_epoch = int(ckpt.latest_step()) + 1
 
     results: Dict[int, Dict[str, float]] = {}
     history: List[EpochResult] = []
@@ -146,7 +163,7 @@ def fit(
     best_value = -float("inf")
     metric_key = cfg.best_metric + "_v"
 
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         t0 = time.time()
         key = jax.random.fold_in(epoch_rng, epoch)
         state, loss = trainer.run_epoch(state, frozen, key)
@@ -168,6 +185,10 @@ def fit(
                 best_epoch = epoch
                 best_params = state.params
         history.append(rec)
+        if ckpt is not None and cfg.verbose != -1 and (
+            epoch % cfg.verbose == 0 or epoch == 1
+        ):
+            ckpt.save(epoch, state)
         if log is not None:
             log(
                 {
@@ -178,6 +199,10 @@ def fit(
                     **(rec.metrics or {}),
                 }
             )
+
+    if ckpt is not None:
+        ckpt.save_best(best_params)
+        ckpt.close()
 
     return state, frozen, results, {
         "history": history,

@@ -251,3 +251,8 @@ class ACF(RecommenderModel):
     def predict_all(self, params, frozen):
         ctx = self.precompute_eval(params, frozen)
         return ctx @ params["Gi"].T
+
+    def factored_eval(self, params, frozen):
+        """Factored scores for the streaming evaluator (eval/factored.py):
+        user side is the attentive profile, item side Gi, no bias."""
+        return self.precompute_eval(params, frozen), params["Gi"], None

@@ -68,6 +68,10 @@ class BPRMF(RecommenderModel):
         )
         return loss + reg_loss
 
+    def factored_eval(self, params, frozen):
+        """Factored scores for the streaming evaluator (eval/factored.py)."""
+        return params["Gu"], params["Gi"], params["Bi"]
+
     def predict_all(self, params, frozen):
         return params["Bi"][None, :] + params["Gu"] @ params["Gi"].T
 

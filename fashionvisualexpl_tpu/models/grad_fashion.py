@@ -158,6 +158,13 @@ class GradFashion(RecommenderModel):
         vis_bias = (vf @ params["Bp"])[:, 0]  # [I]
         return theta_i, vis_bias
 
+    def factored_eval(self, params, frozen):
+        """Factored scores for the streaming evaluator (eval/factored.py)."""
+        theta_i, vis_bias = self.item_factors(params, frozen)
+        uf = jnp.concatenate([params["Gu"], params["Tu"]], axis=1)
+        vf = jnp.concatenate([params["Gi"], theta_i], axis=1)
+        return uf, vf, params["Bi"] + vis_bias
+
     def predict_all(self, params, frozen):
         theta_i, vis_bias = self.item_factors(params, frozen)
         return (

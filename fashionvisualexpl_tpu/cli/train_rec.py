@@ -1,0 +1,200 @@
+"""Training CLI — the reference's train_rec.py surface (src/train_rec.py:17-93).
+
+Same flags, same registry (bprmf/vbpr/acf/grad_fashion/attentive_fashion),
+same regularization-sweep outer loop re-creating data+model per reg value
+(train_rec.py:60-89), same results/weights directory layout — driving the
+TPU-native trainer/evaluator instead of eager per-batch loops.
+
+Usage:
+  python -m fashionvisualexpl_tpu.cli.train_rec --rec vbpr --dataset amazon_baby \
+      --epochs 200 --list_of_regs 0.0 0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Run train of the Recommender Model.")
+    p.add_argument("--best_metric", type=str, default="ndcg")
+    p.add_argument("--dataset", nargs="?", default="amazon_baby")
+    p.add_argument("--rec", nargs="?", default="attentive_fashion")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--top_k", type=int, default=20)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--verbose", type=int, default=-1,
+                   help="checkpoint every N epochs (-1 disables)")
+    p.add_argument("--batch_eval", type=int, default=128)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--validation", type=lambda s: s not in ("0", "False", "false"),
+                   default=True)
+    p.add_argument("--restore_epochs", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint (works, unlike "
+                        "the reference's --restore_epochs)")
+    p.add_argument("--list_of_regs", nargs="+", type=float, default=[0.0])
+    p.add_argument("--layers_component", nargs="+", type=int, default=[64, 1])
+    p.add_argument("--layers_item", nargs="+", type=int, default=[64, 1])
+    p.add_argument("--attention_layers", nargs="+", type=int, default=[64, 1])
+    p.add_argument("--cnn_model", nargs="?", default="vgg19")
+    p.add_argument("--output_layer", nargs="?", default="fc2")
+    p.add_argument("--embed_k", type=int, default=128)
+    p.add_argument("--embed_d", type=int, default=20)
+    p.add_argument("--embed_color", type=int, default=32)
+    p.add_argument("--embed_edges", type=int, default=32)
+    p.add_argument("--reg", type=float, default=0.0)
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--results_root", type=str, default="results")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_user_block", type=int, default=2048)
+    p.add_argument("--streaming_eval", action="store_true",
+                   help="use the blocked streaming evaluator (factored models)")
+    return p.parse_args(argv)
+
+
+def build_model(args, data, cfg):
+    """Model registry (reference train_rec.py:75-86)."""
+    from fashionvisualexpl_tpu.data import features as F
+
+    paths, ds = cfg.paths, args.dataset
+    if args.rec == "bprmf":
+        from fashionvisualexpl_tpu.models.bprmf import BPRMF
+
+        return BPRMF(data.num_users, data.num_items, embed_k=args.embed_k)
+    if args.rec == "vbpr":
+        from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+        feats = F.load_cnn_features(paths, ds, args.cnn_model, args.output_layer)
+        return VBPR(data.num_users, data.num_items, feats,
+                    embed_k=args.embed_k, embed_d=args.embed_d)
+    if args.rec == "grad_fashion":
+        from fashionvisualexpl_tpu.models.grad_fashion import GradFashion
+
+        color = F.load_color_histograms(paths, ds)
+        edges = F.load_edge_features(paths, ds, args.cnn_model, args.output_layer)
+        return GradFashion(
+            data.num_users, data.num_items, color, edges,
+            embed_k=args.embed_k, embed_d=args.embed_d,
+            embed_color=args.embed_color, embed_edges=args.embed_edges,
+        )
+    if args.rec == "attentive_fashion":
+        from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
+        from fashionvisualexpl_tpu.models.attentive_fashion import AttentiveFashion
+
+        color = F.load_color_histograms(paths, ds)
+        cls = F.load_class_onehot(paths, ds)
+        edges = load_edge_image_stack(paths.edges_dir(ds), data.num_items)
+        return AttentiveFashion(
+            data.num_users, data.num_items, color, edges, cls,
+            embed_k=args.embed_k,
+            attention_layers=tuple(args.attention_layers),
+        )
+    if args.rec == "acf":
+        from fashionvisualexpl_tpu.data.pipeline import load_spatial_feature_stack
+        from fashionvisualexpl_tpu.models.acf import ACF
+
+        spat = load_spatial_feature_stack(
+            paths.cnn_features_split_dir(ds, args.cnn_model, args.output_layer),
+            data.num_items,
+        )
+        return ACF(
+            data.num_users, data.num_items, spat, data,
+            embed_k=args.embed_k,
+            layers_component=tuple(args.layers_component),
+            layers_item=tuple(args.layers_item),
+        )
+    raise NotImplementedError("Not implemented or unknown Recommender Model.")
+
+
+def train(argv=None):
+    args = parse_args(argv)
+
+    from fashionvisualexpl_tpu.core.config import Paths, TrainConfig
+    from fashionvisualexpl_tpu.data.interactions import Interactions
+    from fashionvisualexpl_tpu.eval.evaluator import Evaluator
+    from fashionvisualexpl_tpu.eval.factored import FactoredEvaluator
+    from fashionvisualexpl_tpu.train.trainer import fit
+    from fashionvisualexpl_tpu.utils.io import JsonlLogger, ensure_dir, save_obj
+
+    paths = Paths(root=args.data_root, results_root=args.results_root)
+    results_dir = ensure_dir(paths.results_dir(args.dataset, args.rec))
+    weight_dir = ensure_dir(paths.weight_dir(args.dataset, args.rec))
+
+    for it, current_reg in enumerate(args.list_of_regs):
+        print("-" * 68)
+        print(
+            "ITERATION %d/%d WITH REGULARIZATION: %f"
+            % (it + 1, len(args.list_of_regs), current_reg)
+        )
+        cfg = TrainConfig(
+            dataset=args.dataset, rec=args.rec, batch_size=args.batch_size,
+            top_k=args.top_k, epochs=args.epochs, verbose=args.verbose,
+            batch_eval=args.batch_eval, lr=args.lr,
+            validation=args.validation, reg=current_reg,
+            best_metric=args.best_metric, seed=args.seed, paths=paths,
+        )
+        data = Interactions.load(cfg)
+
+        print(f"Training {args.rec} on {args.dataset}")
+        print("Parameters:")
+        for k, v in sorted(vars(args).items()):
+            print(f"\t- {k} = {v}")
+        print()
+
+        model = build_model(args, data, cfg)
+        if args.streaming_eval and hasattr(model, "factored_eval"):
+            evaluator = FactoredEvaluator(
+                model, data, k=cfg.top_k, user_block=args.eval_user_block
+            )
+            dump_evaluator = Evaluator(
+                model, data, k=cfg.top_k, user_block=args.eval_user_block
+            )
+        else:
+            evaluator = Evaluator(
+                model, data, k=cfg.top_k, user_block=args.eval_user_block
+            )
+            dump_evaluator = evaluator
+
+        run_tag = (
+            f"batch_{cfg.batch_size}-K_{args.embed_k}-lr_{cfg.lr}-reg_{cfg.reg}"
+        )
+        logger = JsonlLogger(os.path.join(results_dir, f"log-{run_tag}.jsonl"))
+        state, frozen, results, extra = fit(
+            model, data, cfg, evaluator=evaluator, log=logger.log,
+            ckpt_dir=os.path.join(weight_dir, f"ckpt-{run_tag}"),
+            resume=args.resume,
+        )
+        logger.close()
+
+        # dumps in the reference layout (BPRMF.py:167-184)
+        last_epoch = cfg.epochs
+        dump_evaluator.store_recommendation(
+            state.params, frozen,
+            os.path.join(results_dir, f"recs-{last_epoch}-{run_tag}.tsv"),
+        )
+        save_obj(results, os.path.join(results_dir, f"results-metrics-{run_tag}"))
+        best_epoch = extra["best_epoch"]
+        print(f"Store Best Model at Epoch {best_epoch}")
+        dump_evaluator.store_recommendation(
+            extra["best_params"], frozen,
+            os.path.join(results_dir, f"best-recs-{best_epoch}-{run_tag}.tsv"),
+        )
+        if args.rec == "grad_fashion":
+            dump_evaluator.store_recommendation_grads(
+                extra["best_params"], frozen,
+                os.path.join(results_dir, f"best-grads-{best_epoch}-{run_tag}.tsv"),
+                grads_fn=lambda p, f, u, items: model.feature_attributions(
+                    p, f, u, items
+                ),
+            )
+        print("END REGULARIZATION")
+        print("-" * 68)
+
+
+if __name__ == "__main__":
+    train()

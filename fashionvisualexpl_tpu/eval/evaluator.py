@@ -120,25 +120,7 @@ class Evaluator:
     # --- reporting (reference print format, Evaluator.py:194-215) ---
 
     def print_epoch(self, epoch, total_epochs, mean_loss, rec) -> None:
-        m = rec.metrics or {}
-        print(
-            "Epoch %d/%d \tLoss: %.3f \tTrain Time: %s \tEvaluation Time: %s\n"
-            "Metrics@%d (Validation)\n\t\tHR\tPrec\tRec\tAUC\tnDCG\n"
-            "\t\t%f\t%f\t%f\t%f\t%f\n"
-            "Metrics@%d (Test)\n\t\tHR\tPrec\tRec\tAUC\tnDCG\n"
-            "\t\t%f\t%f\t%f\t%f\t%f\n"
-            % (
-                epoch, total_epochs, mean_loss,
-                datetime.timedelta(seconds=rec.train_time_s),
-                datetime.timedelta(seconds=rec.eval_time_s),
-                self.k,
-                m.get("hr_v", 0), m.get("p_v", 0), m.get("r_v", 0),
-                m.get("auc_v", 0), m.get("ndcg_v", 0),
-                self.k,
-                m.get("hr_t", 0), m.get("p_t", 0), m.get("r_t", 0),
-                m.get("auc_t", 0), m.get("ndcg_t", 0),
-            )
-        )
+        print_epoch_block(self.k, epoch, total_epochs, mean_loss, rec)
 
     # --- recommendation dumps (Evaluator.py:225-275 formats) ---
 
@@ -218,3 +200,26 @@ class Evaluator:
                 )
                 for i, item in enumerate(pos_items):
                     out.write(f"{u}\t{item}\t{g[i, 0]}\t{g[i, 1]}\n")
+
+
+def print_epoch_block(k, epoch, total_epochs, mean_loss, rec) -> None:
+    """The reference's per-epoch metric block (Evaluator.py:194-215)."""
+    m = rec.metrics or {}
+    print(
+        "Epoch %d/%d \tLoss: %.3f \tTrain Time: %s \tEvaluation Time: %s\n"
+        "Metrics@%d (Validation)\n\t\tHR\tPrec\tRec\tAUC\tnDCG\n"
+        "\t\t%f\t%f\t%f\t%f\t%f\n"
+        "Metrics@%d (Test)\n\t\tHR\tPrec\tRec\tAUC\tnDCG\n"
+        "\t\t%f\t%f\t%f\t%f\t%f\n"
+        % (
+            epoch, total_epochs, mean_loss,
+            datetime.timedelta(seconds=rec.train_time_s),
+            datetime.timedelta(seconds=rec.eval_time_s),
+            k,
+            m.get("hr_v", 0), m.get("p_v", 0), m.get("r_v", 0),
+            m.get("auc_v", 0), m.get("ndcg_v", 0),
+            k,
+            m.get("hr_t", 0), m.get("p_t", 0), m.get("r_t", 0),
+            m.get("auc_t", 0), m.get("ndcg_t", 0),
+        )
+    )

@@ -227,3 +227,8 @@ class FactoredEvaluator:
         else:
             out.update(hr_v=0.0, p_v=0.0, r_v=0.0, auc_v=0.0, ndcg_v=0.0)
         return out
+
+    def print_epoch(self, epoch, total_epochs, mean_loss, rec) -> None:
+        from fashionvisualexpl_tpu.eval.evaluator import print_epoch_block
+
+        print_epoch_block(self.k, epoch, total_epochs, mean_loss, rec)

@@ -183,7 +183,11 @@ def fit(
             if metrics.get(metric_key, -float("inf")) >= best_value:
                 best_value = metrics[metric_key]
                 best_epoch = epoch
-                best_params = state.params
+                # device-resident copy: run_epoch donates the state, so
+                # aliasing state.params here would hold dead buffers
+                best_params = jax.tree_util.tree_map(
+                    jnp.copy, state.params
+                )
         history.append(rec)
         if ckpt is not None and cfg.verbose != -1 and (
             epoch % cfg.verbose == 0 or epoch == 1

@@ -1,0 +1,75 @@
+"""End-to-end CLI runs over a synthetic dataset in the reference's on-disk
+layout — every model in the registry, plus artifact checks."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from fashionvisualexpl_tpu.cli.train_rec import train
+from fashionvisualexpl_tpu.data.synthetic_dataset import (
+    make_synthetic_dataset_on_disk,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    make_synthetic_dataset_on_disk(
+        root, num_users=20, num_items=24, interactions_per_user=6,
+        edge_hw=(16, 16), spatial=(3, 5), cnn_dim=16,
+    )
+    return root
+
+
+def _run(root, rec, extra=()):
+    argv = [
+        "--rec", rec, "--dataset", "synthetic",
+        "--data_root", root,
+        "--results_root", os.path.join(root, "results"),
+        "--epochs", "2", "--batch_size", "16", "--top_k", "5",
+        "--embed_k", "8", "--embed_d", "4",
+        "--embed_color", "4", "--embed_edges", "4",
+        "--attention_layers", "4", "1",
+        "--layers_component", "4", "1", "--layers_item", "4", "1",
+        "--eval_user_block", "8",
+        *extra,
+    ]
+    train(argv)
+    rdir = os.path.join(root, "results", "rec_results", "synthetic", rec)
+    return rdir
+
+
+@pytest.mark.parametrize(
+    "rec", ["bprmf", "vbpr", "grad_fashion", "acf", "attentive_fashion"]
+)
+def test_cli_all_models(dataset_dir, rec):
+    rdir = _run(dataset_dir, rec)
+    recs = glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+    assert recs, os.listdir(rdir)
+    lines = open(recs[0]).read().strip().split("\n")
+    assert len(lines) == 20 * 5  # users x top_k
+    u, i, s = lines[0].split("\t")
+    float(s); int(u); int(i)
+    assert glob.glob(os.path.join(rdir, "best-recs-*.tsv"))
+    assert glob.glob(os.path.join(rdir, "results-metrics-*.pkl"))
+    assert glob.glob(os.path.join(rdir, "log-*.jsonl"))
+    if rec == "grad_fashion":
+        grads = glob.glob(os.path.join(rdir, "best-grads-*.tsv"))
+        assert grads
+        parts = open(grads[0]).readline().strip().split("\t")
+        assert len(parts) == 4  # user, item, color_attr, edges_attr
+
+
+def test_cli_streaming_eval(dataset_dir):
+    rdir = _run(dataset_dir, "bprmf", extra=("--streaming_eval",))
+    assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+
+
+def test_cli_reg_sweep(dataset_dir):
+    rdir = _run(dataset_dir, "bprmf",
+                extra=("--list_of_regs", "0.0", "0.01"))
+    # one results pickle per reg value
+    assert len(glob.glob(os.path.join(rdir, "results-metrics-*reg_0.0*"))) >= 1
+    assert len(glob.glob(os.path.join(rdir, "results-metrics-*reg_0.01*"))) >= 1

@@ -44,16 +44,19 @@ def main():
     state, frozen = trainer.init_state()
 
     key = jax.random.PRNGKey(0)
-    for e in range(WARMUP_EPOCHS):
+    # warmup: compile + settle donation/layout (first post-init call pays a
+    # one-time transfer); fetching the loss VALUE forces real completion —
+    # block_until_ready alone has proven unreliable on this platform
+    for e in range(WARMUP_EPOCHS + 1):
         state, loss = trainer.run_epoch(state, frozen, jax.random.fold_in(key, e))
-    jax.block_until_ready(loss)
+        float(loss)
 
     t0 = time.time()
     for e in range(MEASURE_EPOCHS):
         state, loss = trainer.run_epoch(
             state, frozen, jax.random.fold_in(key, 100 + e)
         )
-    jax.block_until_ready(loss)
+        float(loss)  # per-epoch sync: honest end-to-end timing
     elapsed = time.time() - t0
 
     triples = MEASURE_EPOCHS * trainer.steps_per_epoch * BATCH

@@ -1,0 +1,156 @@
+"""Scaled-config benchmark (BASELINE.json config 4): 1M users x 500k items,
+128-dim — training triples/sec and streaming full-catalog eval items/sec on
+one chip.  Interaction structure is synthesized directly as arrays (no
+planted semantics needed for throughput).
+
+Run:  python scripts/scaled_bench.py [--users 1000000 --items 500000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_scaled_arrays(num_users, num_items, pos_per_user, seed=0):
+    """Vectorized padded-positives construction: row u gets pos_per_user
+    distinct pseudo-random items (affine spread), sorted ascending."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, num_items, size=(num_users, 1), dtype=np.int64)
+    stride = (num_items // (pos_per_user + 1)) - 1
+    items = (base + np.arange(pos_per_user, dtype=np.int64) * stride) % num_items
+    items = np.sort(items, axis=1).astype(np.int32)
+    counts = np.full((num_users,), pos_per_user, dtype=np.int32)
+    users = np.repeat(
+        np.arange(num_users, dtype=np.int32), pos_per_user
+    )
+    pairs = np.stack([users, items.reshape(-1)], axis=1)
+    return pairs, items, counts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=1_000_000)
+    ap.add_argument("--items", type=int, default=500_000)
+    ap.add_argument("--pos_per_user", type=int, default=20)
+    ap.add_argument("--embed_k", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--fast", action="store_true", help="compact-grad + sparse-apply Adam path")
+    ap.add_argument("--eval_users", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fashionvisualexpl_tpu.core.train_state import (
+        apply_gradients, create_train_state, tf_parity_adam,
+    )
+    from fashionvisualexpl_tpu.data.sampler import sample_triplets
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.ops.topk import streaming_topk_and_counts
+
+    print(f"building {args.users}x{args.items} arrays...", flush=True)
+    pairs, padded_pos, counts = make_scaled_arrays(
+        args.users, args.items, args.pos_per_user
+    )
+    model = BPRMF(args.users, args.items, embed_k=args.embed_k)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    print("state built", flush=True)
+
+    pairs_d = jnp.asarray(pairs)
+    pos_d = jnp.asarray(padded_pos)
+    cnt_d = jnp.asarray(counts)
+
+    steps, batch = args.steps, args.batch
+
+    if args.fast:
+        from fashionvisualexpl_tpu.train.fast import (
+            init_fast_state, make_fast_epoch_fn,
+        )
+
+        state = init_fast_state(params)
+        epoch_fn = make_fast_epoch_fn(
+            model, 0.001, 0.001, args.items, steps, batch
+        )
+
+        def run(state, key):
+            return epoch_fn(state, key, pairs_d, pos_d, cnt_d)
+    else:
+        tx = tf_parity_adam(0.001)
+        state = create_train_state(params, tx)
+
+        @jax.jit
+        def run(state, key):
+            users, pos, neg = sample_triplets(
+                key, pairs_d, pos_d, cnt_d, args.items, steps, batch
+            )
+
+            def body(st, sb):
+                u, p, n = sb
+
+                def loss_fn(prm):
+                    return model.loss(prm, frozen, u, p, n, 0.001)
+
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                return apply_gradients(st, grads, tx), loss
+
+            state, losses = jax.lax.scan(body, state, (users, pos, neg))
+            return state, jnp.sum(losses)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, loss = run(state, key)
+    print(f"compile+first: {time.time() - t0:.1f}s loss={float(loss):.1f}",
+          flush=True)
+    t0 = time.time()
+    state, loss = run(state, jax.random.fold_in(key, 1))
+    float(loss)
+    train_elapsed = time.time() - t0
+    tps = steps * batch / train_elapsed
+    print(f"train: {tps:,.0f} triples/s ({train_elapsed:.2f}s for "
+          f"{steps}x{batch})", flush=True)
+
+    # streaming eval throughput: top-k + counts over the full catalog for a
+    # block of users
+    Bu = args.eval_users
+    uf = state.params["Gu"][:Bu]
+    ref_ids = jnp.zeros((Bu, 1), jnp.int32)
+    ref_scores = jnp.zeros((Bu, 1), jnp.float32)
+
+    @jax.jit
+    def eval_block(uf, gi, bi):
+        return streaming_topk_and_counts(
+            uf, gi, bi, 84, ref_scores=ref_scores, ref_ids=ref_ids,
+            item_block=32768,
+        )
+
+    out = eval_block(uf, state.params["Gi"], state.params["Bi"])
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = eval_block(uf, state.params["Gi"], state.params["Bi"])
+    float(out[0][0, 0])
+    eval_elapsed = time.time() - t0
+    scored = Bu * args.items
+    ips = scored / eval_elapsed
+    print(f"eval: {ips:,.0f} user-item scores/s "
+          f"({eval_elapsed:.3f}s for {Bu} users x {args.items} items)",
+          flush=True)
+    full_eval_s = args.users * args.items / ips
+    print(f"extrapolated full-catalog eval (all {args.users} users): "
+          f"{full_eval_s:,.0f}s", flush=True)
+
+    print(json.dumps({
+        "scaled_train_triples_per_sec": tps,
+        "scaled_eval_scores_per_sec": ips,
+        "config": vars(args),
+    }))
+
+
+if __name__ == "__main__":
+    main()

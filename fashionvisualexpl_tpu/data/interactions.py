@@ -27,8 +27,22 @@ import numpy as np
 from fashionvisualexpl_tpu.core.config import Paths, TrainConfig
 
 
-def read_split_tsv(path: str) -> List[Tuple[int, int]]:
-    """Read (user, item) pairs from a reference-format split TSV."""
+def read_split_tsv(path: str, use_native: bool = True) -> List[Tuple[int, int]]:
+    """Read (user, item) pairs from a reference-format split TSV.
+
+    Uses the native C++ parser (data/native.py, mmap + multithreaded) when
+    available — the reference's per-line Python loop (dataset.py:52-81)
+    takes minutes at 10^7+ rows; falls back to pure Python otherwise."""
+    if use_native:
+        try:
+            from fashionvisualexpl_tpu.data.native import parse_interactions_tsv
+
+            parsed = parse_interactions_tsv(path)
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            users, items, _ = parsed
+            return list(zip(users.tolist(), items.tolist()))
     pairs: List[Tuple[int, int]] = []
     with open(path) as f:
         for line in f:

@@ -1,0 +1,122 @@
+"""ctypes bindings for the native C++ data plane (native/fvx_native.cpp).
+
+Builds the shared library on first use (g++ -O3, cached next to the source;
+rebuilt when the source is newer) and falls back to the pure-Python loaders
+if no compiler is available.  All interfaces return numpy arrays matching
+the Python implementations bit-for-bit (tested).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "fvx_native.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libfvx_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                _SRC, "-o", _SO,
+            ],
+            check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SRC):
+            return None
+        needs_build = (
+            not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        if needs_build and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.fvx_count_tsv_rows.restype = ctypes.c_long
+        lib.fvx_count_tsv_rows.argtypes = [ctypes.c_char_p]
+        lib.fvx_parse_interactions.restype = ctypes.c_long
+        lib.fvx_parse_interactions.argtypes = [
+            ctypes.c_char_p, i32p, i32p, i64p, ctypes.c_long,
+        ]
+        lib.fvx_max_pos_count.restype = ctypes.c_int32
+        lib.fvx_max_pos_count.argtypes = [i32p, i32p, ctypes.c_long,
+                                          ctypes.c_int32]
+        lib.fvx_pad_positives.restype = None
+        lib.fvx_pad_positives.argtypes = [
+            i32p, i32p, ctypes.c_long, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def parse_interactions_tsv(
+    path: str,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(users, items, times) int arrays in file order, or None if the native
+    library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    cap = lib.fvx_count_tsv_rows(path.encode())
+    if cap < 0:
+        raise FileNotFoundError(path)
+    users = np.empty(cap, np.int32)
+    items = np.empty(cap, np.int32)
+    times = np.empty(cap, np.int64)
+    n = lib.fvx_parse_interactions(path.encode(), users, items, times, cap)
+    if n < 0:
+        raise RuntimeError(f"native parse failed for {path}")
+    return users[:n], items[:n], times[:n]
+
+
+def pad_sorted_positives_native(
+    users: np.ndarray, items: np.ndarray, num_users: int, num_items: int,
+    width: Optional[int] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native padded strictly-increasing positives (matches
+    data/interactions.py::pad_sorted_positives)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    users = np.ascontiguousarray(users, np.int32)
+    items = np.ascontiguousarray(items, np.int32)
+    if width is None:
+        width = max(
+            1, int(lib.fvx_max_pos_count(users, items, len(users), num_users))
+        )
+    padded = np.empty((num_users, width), np.int32)
+    counts = np.empty(num_users, np.int32)
+    lib.fvx_pad_positives(
+        users, items, len(users), num_users, num_items, width,
+        padded.reshape(-1), counts,
+    )
+    return padded, counts

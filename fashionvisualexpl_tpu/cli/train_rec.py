@@ -192,6 +192,18 @@ def train(argv=None):
                     p, f, u, items
                 ),
             )
+        if args.rec == "attentive_fashion":
+            # attention-augmented dump (reference AttentiveFashion.py:333
+            # path via store_recommendation_attention)
+            dump_evaluator.store_recommendation_attention(
+                extra["best_params"], frozen,
+                os.path.join(
+                    results_dir, f"best-att-recs-{best_epoch}-{run_tag}.tsv"
+                ),
+                attention_fn=lambda p, f, ids: model.attention_weights(
+                    p, f, ids
+                ),
+            )
         print("END REGULARIZATION")
         print("-" * 68)
 

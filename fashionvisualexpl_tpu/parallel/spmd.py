@@ -158,3 +158,42 @@ def make_spmd_train_step(
         return new_state, loss
 
     return step
+
+
+def make_spmd_epoch_fn(
+    model: RecommenderModel,
+    mesh: Mesh,
+    tx,
+    reg: float,
+    num_items: int,
+    steps: int,
+    batch: int,
+) -> Callable:
+    """Full epoch as ONE jitted program over the mesh: on-device sampling,
+    then a lax.scan of shard_mapped train steps — the multi-chip analogue of
+    train/trainer.py's epoch function.
+
+    Sampler tables stay replicated (they are id metadata, small relative to
+    the embedding tables); batches are resharded over `data` per step by
+    XLA.  Call with params/frozen placed by shard_params().
+    """
+    from fashionvisualexpl_tpu.data.sampler import sample_triplets
+
+    grad_fn = make_spmd_grad_fn(model, mesh, reg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: TrainState, frozen, key,
+              train_pairs, padded_pos, pos_counts):
+        users, pos, neg = sample_triplets(
+            key, train_pairs, padded_pos, pos_counts, num_items, steps, batch
+        )
+
+        def body(st, sb):
+            u, p, n = sb
+            loss, grads = grad_fn(st.params, frozen, u, p, n)
+            return apply_gradients(st, grads, tx), loss
+
+        state, losses = jax.lax.scan(body, state, (users, pos, neg))
+        return state, jnp.sum(losses)
+
+    return epoch

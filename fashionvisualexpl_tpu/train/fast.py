@@ -173,3 +173,89 @@ def make_fast_epoch_fn(model, lr: float, reg: float, num_items: int,
         return state, jnp.sum(losses)
 
     return epoch
+
+
+def make_fast_vbpr_step(model, lr: float, reg: float) -> Callable:
+    """Fast train step for VBPR (reference loss semantics, VBPR.py:99-143):
+    row tables (Gu, Gi, Bi, Tu) get the sparse-apply path; the small dense
+    E/Bp matrices get ordinary dense Adam."""
+    from fashionvisualexpl_tpu.models.base import bpr_pairwise_loss, l2_loss
+
+    def step(state: FastState, batch):
+        frozen_F, (u, p_ids, n_ids) = batch
+        P = state.params
+        gu = jnp.take(P["Gu"], u, axis=0)
+        tu = jnp.take(P["Tu"], u, axis=0)
+        gp = jnp.take(P["Gi"], p_ids, axis=0)
+        gn = jnp.take(P["Gi"], n_ids, axis=0)
+        bp = jnp.take(P["Bi"], p_ids)
+        bn = jnp.take(P["Bi"], n_ids)
+        fp = jnp.take(frozen_F, p_ids, axis=0)
+        fn_ = jnp.take(frozen_F, n_ids, axis=0)
+
+        def local_loss(gu, tu, gp, gn, bp, bn, E, Bp):
+            x_pos = (
+                bp + jnp.sum(gu * gp, axis=1)
+                + jnp.sum(tu * (fp @ E), axis=1) + (fp @ Bp)[:, 0]
+            )
+            x_neg = (
+                bn + jnp.sum(gu * gn, axis=1)
+                + jnp.sum(tu * (fn_ @ E), axis=1) + (fn_ @ Bp)[:, 0]
+            )
+            loss = bpr_pairwise_loss(x_pos, x_neg)
+            return loss + (
+                reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn) + l2_loss(tu))
+                * 2.0
+                + reg * l2_loss(bp) * 2.0
+                + reg * l2_loss(bn) * 2.0 / 10.0
+                + reg * (l2_loss(E) + l2_loss(Bp)) * 2.0
+            )
+
+        loss, grads = jax.value_and_grad(
+            local_loss, argnums=tuple(range(8))
+        )(gu, tu, gp, gn, bp, bn, P["E"], P["Bp"])
+        dgu, dtu, dgp, dgn, dbp, dbn, dE, dBp = grads
+        t = (state.step + 1).astype(jnp.float32)
+        B = u.shape[0]
+
+        new_p, new_m, new_v = dict(P), dict(state.mu), dict(state.nu)
+        for name, ids, g, ns in (
+            ("Gu", u, dgu, B),
+            ("Tu", u, dtu, B),
+            ("Gi", jnp.concatenate([p_ids, n_ids]),
+             jnp.concatenate([dgp, dgn]), 2 * B),
+            ("Bi", jnp.concatenate([p_ids, n_ids]),
+             jnp.concatenate([dbp, dbn]), 2 * B),
+        ):
+            uids, cg = compact_row_grads(ids, g, ns)
+            new_p[name], new_m[name], new_v[name] = sparse_adam_table(
+                P[name], state.mu[name], state.nu[name], uids, cg, lr, t
+            )
+        for name, g in (("E", dE), ("Bp", dBp)):
+            new_p[name], new_m[name], new_v[name] = dense_adam(
+                P[name], state.mu[name], state.nu[name], g, lr, t
+            )
+        return FastState(state.step + 1, new_p, new_m, new_v), loss
+
+    return step
+
+
+def make_fast_vbpr_epoch_fn(model, frozen, lr: float, reg: float,
+                            num_items: int, steps: int,
+                            batch: int) -> Callable:
+    step_fn = make_fast_vbpr_step(model, lr, reg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: FastState, frozen_F, key,
+              train_pairs, padded_pos, pos_counts):
+        users, pos, neg = sample_triplets(
+            key, train_pairs, padded_pos, pos_counts, num_items, steps, batch
+        )
+
+        def body(st, sb):
+            return step_fn(st, (frozen_F, sb))
+
+        state, losses = jax.lax.scan(body, state, (users, pos, neg))
+        return state, jnp.sum(losses)
+
+    return epoch

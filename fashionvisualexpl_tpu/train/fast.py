@@ -161,13 +161,15 @@ def make_fast_bprmf_step(model, lr: float, reg: float,
 
 def make_fast_epoch_fn(model, lr: float, reg: float, num_items: int,
                        steps: int, batch: int,
-                       fused_adam: bool = False) -> Callable:
+                       fused_adam: bool = False,
+                       with_replacement: bool = False) -> Callable:
     step_fn = make_fast_bprmf_step(model, lr, reg, fused_adam=fused_adam)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: FastState, key, train_pairs, padded_pos, pos_counts):
         users, pos, neg = sample_triplets(
-            key, train_pairs, padded_pos, pos_counts, num_items, steps, batch
+            key, train_pairs, padded_pos, pos_counts, num_items, steps, batch,
+            with_replacement=with_replacement,
         )
         state, losses = jax.lax.scan(step_fn, state, (users, pos, neg))
         return state, jnp.sum(losses)

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--fast", action="store_true", help="compact-grad + sparse-apply Adam path")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="with-replacement sampling (original-BPR scheme; "
+                         "skips the per-epoch permutation)")
     ap.add_argument("--eval_users", type=int, default=4096)
     args = ap.parse_args()
 
@@ -76,7 +79,8 @@ def main():
 
         state = init_fast_state(params)
         epoch_fn = make_fast_epoch_fn(
-            model, 0.001, 0.001, args.items, steps, batch
+            model, 0.001, 0.001, args.items, steps, batch,
+            with_replacement=args.bootstrap,
         )
 
         def run(state, key):

@@ -86,3 +86,23 @@ def test_sample_triplets_shapes_and_validity():
     for u, p, n in zip(users.ravel(), pos.ravel(), neg.ravel()):
         assert p in data.training_list[u]
         assert n not in data.training_list[u]
+
+
+def test_with_replacement_sampling():
+    """Bootstrap mode: valid triplets, negatives never positive."""
+    data = synthetic_interactions(30, 40, interactions_per_user=8, seed=2)
+    users, pos, neg = sample_triplets(
+        jax.random.PRNGKey(5),
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+        data.num_items,
+        6,
+        32,
+        with_replacement=True,
+    )
+    users, pos, neg = map(np.asarray, (users, pos, neg))
+    assert users.shape == (6, 32)
+    for u, p, n in zip(users.ravel(), pos.ravel(), neg.ravel()):
+        assert p in data.training_list[u]
+        assert n not in data.training_list[u]

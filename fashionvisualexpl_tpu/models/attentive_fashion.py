@@ -293,3 +293,47 @@ class AttentiveFashion(RecommenderModel):
             params, gamma_u[:, None, :], e_items[None, :, :, :]
         )  # [B_u, I, 3, 1]
         return alpha[..., 0]
+
+    # --- streamed-feature variants (catalogs whose modality tensors exceed
+    # HBM; features arrive per batch from the host pipeline) ---
+
+    def encode_batch(self, params, col, img, cls, rng=None):
+        """[B, 3, K] from explicit per-batch modality inputs."""
+        rngs = (None, None, None) if rng is None else jax.random.split(rng, 3)
+        color_e = self._mlp_encode(params["color_enc"], col, rngs[0])
+        edges_e = self._edges_encode(params["edges_enc"], img, rngs[1])
+        class_e = self._mlp_encode(params["class_enc"], cls, rngs[2])
+        return jnp.stack([color_e, edges_e, class_e], axis=-2)
+
+    def loss_streamed(self, params, users, pos, neg, feats, reg, rng=None):
+        """Same loss as `loss`, with modality inputs supplied per batch:
+        feats = dict(col_pos, img_pos, cls_pos, col_neg, img_neg, cls_neg)."""
+        gamma_u = jnp.take(params["Gu"], users, axis=0)
+        gamma_pos = jnp.take(params["Gi"], pos, axis=0)
+        gamma_neg = jnp.take(params["Gi"], neg, axis=0)
+        rng_pos, rng_neg = (
+            jax.random.split(rng) if rng is not None else (None, None)
+        )
+        e_pos = self.encode_batch(
+            params, feats["col_pos"], feats["img_pos"], feats["cls_pos"],
+            rng_pos,
+        )
+        e_neg = self.encode_batch(
+            params, feats["col_neg"], feats["img_neg"], feats["cls_neg"],
+            rng_neg,
+        )
+        x_pos = self._score_from_encoded(params, gamma_u, gamma_pos, e_pos)
+        x_neg = self._score_from_encoded(params, gamma_u, gamma_neg, e_neg)
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+        att = params["attention"]
+        reg_loss = (
+            reg
+            * (
+                l2_loss(gamma_u) + l2_loss(gamma_pos) + l2_loss(gamma_neg)
+                + l2_loss(e_pos) + l2_loss(e_neg)
+            )
+            * 2.0
+            + self.global_reg_scale * reg
+            * sum(l2_loss(v) for v in att.values()) * 2.0
+        )
+        return loss + reg_loss

@@ -1,0 +1,125 @@
+"""Streamed-feature trainer for catalogs whose modality tensors exceed HBM.
+
+The resident trainer (train/trainer.py) holds every modality tensor on
+device and runs whole epochs as one XLA program.  When edge-image stacks at
+catalog scale don't fit (I x 224 x 224 images are ~200KB/item), this
+trainer keeps features on host (arrays or np.memmap), samples triplet ids
+on device, and streams per-batch feature gathers through a double-buffered
+host prefetcher into a jitted per-step function — the role tf.data's
+py_function + AUTOTUNE prefetch plays in the reference
+(src/dataset/dataset.py:124-139), without the per-sample Python boundary.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashionvisualexpl_tpu.core.config import TrainConfig
+from fashionvisualexpl_tpu.core.train_state import (
+    TrainState,
+    apply_gradients,
+    create_train_state,
+    tf_parity_adam,
+)
+from fashionvisualexpl_tpu.data.interactions import Interactions
+from fashionvisualexpl_tpu.data.pipeline import HostPrefetcher
+from fashionvisualexpl_tpu.data.sampler import sample_triplets
+
+
+class ArrayFeatureStore:
+    """Per-item modality store backed by host arrays / np.memmap files.
+
+    gather(pos_ids, neg_ids) -> the feats dict loss_streamed expects."""
+
+    def __init__(self, color: np.ndarray, edges: np.ndarray, cls: np.ndarray):
+        self.color, self.edges, self.cls = color, edges, cls
+
+    @classmethod
+    def from_memmap(cls, color_path, edges_path, cls_path):
+        return cls(
+            np.load(color_path, mmap_mode="r"),
+            np.load(edges_path, mmap_mode="r"),
+            np.load(cls_path, mmap_mode="r"),
+        )
+
+    def gather(self, pos: np.ndarray, neg: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            "col_pos": np.asarray(self.color[pos], np.float32),
+            "img_pos": np.asarray(self.edges[pos], np.float32),
+            "cls_pos": np.asarray(self.cls[pos], np.float32),
+            "col_neg": np.asarray(self.color[neg], np.float32),
+            "img_neg": np.asarray(self.edges[neg], np.float32),
+            "cls_neg": np.asarray(self.cls[neg], np.float32),
+        }
+
+
+def fit_streamed(
+    model,
+    data: Interactions,
+    cfg: TrainConfig,
+    store: ArrayFeatureStore,
+    evaluator=None,
+    prefetch_depth: int = 2,
+):
+    """Training loop with host-streamed modality features.
+
+    Requires the model to implement loss_streamed(params, users, pos, neg,
+    feats, reg, rng) (AttentiveFashion does).  Eval still uses the
+    evaluator's path (items encoded once per evaluation)."""
+    tx = tf_parity_adam(cfg.lr)
+    params, frozen = model.init(jax.random.PRNGKey(cfg.seed))
+    state = create_train_state(params, tx)
+    steps = data.steps_per_epoch(cfg.batch_size)
+
+    train_pairs = jnp.asarray(data.train_pairs)
+    padded_pos = jnp.asarray(data.padded_pos)
+    pos_counts = jnp.asarray(data.pos_counts)
+
+    @jax.jit
+    def train_step(state, users, pos, neg, feats, rng):
+        def loss_fn(p):
+            return model.loss_streamed(p, users, pos, neg, feats, cfg.reg,
+                                       rng=rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return apply_gradients(state, grads, tx), loss
+
+    results = {}
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    for epoch in range(1, cfg.epochs + 1):
+        ekey = jax.random.fold_in(key, epoch)
+        users, pos, neg = sample_triplets(
+            ekey, train_pairs, padded_pos, pos_counts,
+            data.num_items, steps, cfg.batch_size,
+        )
+        users, pos, neg = map(np.asarray, (users, pos, neg))
+
+        def batches():
+            for s in range(steps):
+                yield s
+
+        def gather(s):
+            return (
+                users[s], pos[s], neg[s],
+                store.gather(pos[s], neg[s]),
+            )
+
+        total = 0.0
+        t0 = time.time()
+        for s, (u, p, n, feats) in HostPrefetcher(
+            batches(), gather, depth=prefetch_depth
+        ):
+            step_rng = jax.random.fold_in(ekey, 1000 + s)
+            state, loss = train_step(
+                state, jnp.asarray(u), jnp.asarray(p), jnp.asarray(n),
+                {k: jnp.asarray(v) for k, v in feats.items()}, step_rng,
+            )
+            total += float(loss)
+        if evaluator is not None and epoch % cfg.eval_every == 0:
+            results[epoch] = evaluator.evaluate(state.params, frozen)
+    return state, frozen, results

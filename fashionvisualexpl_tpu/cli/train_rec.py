@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--eval_user_block", type=int, default=2048)
     p.add_argument("--streaming_eval", action="store_true",
                    help="use the blocked streaming evaluator (factored models)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel mesh axis size")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="table-row-sharding mesh axis size")
     return p.parse_args(argv)
 
 
@@ -131,12 +135,15 @@ def train(argv=None):
             "ITERATION %d/%d WITH REGULARIZATION: %f"
             % (it + 1, len(args.list_of_regs), current_reg)
         )
+        from fashionvisualexpl_tpu.core.config import MeshConfig
+
         cfg = TrainConfig(
             dataset=args.dataset, rec=args.rec, batch_size=args.batch_size,
             top_k=args.top_k, epochs=args.epochs, verbose=args.verbose,
             batch_eval=args.batch_eval, lr=args.lr,
             validation=args.validation, reg=current_reg,
             best_metric=args.best_metric, seed=args.seed, paths=paths,
+            mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
         )
         data = Interactions.load(cfg)
 
@@ -200,8 +207,8 @@ def train(argv=None):
                 os.path.join(
                     results_dir, f"best-att-recs-{best_epoch}-{run_tag}.tsv"
                 ),
-                attention_fn=lambda p, f, ids: model.attention_weights(
-                    p, f, ids
+                attention_fn=lambda p, f, ids, ctx: model.attention_weights(
+                    p, f, ids, ctx
                 ),
             )
         print("END REGULARIZATION")

@@ -73,6 +73,8 @@ class Evaluator:
     def _eval_block_impl(self, split, params, frozen, user_ids, ctx):
         """Score one user block and compute its per-user metrics."""
         scores = self.model.predict_user_block(params, frozen, user_ids, ctx)
+        # sharded tables are row-padded to the mesh multiple; drop pad items
+        scores = scores[:, : self.data.num_items]
         train_mask = jnp.take(self._train_mask, user_ids, axis=0)
         if split == "val":
             items = jnp.take(self._val_items, user_ids, axis=0)
@@ -134,7 +136,7 @@ class Evaluator:
                 idx = (np.arange(self.user_block) + start) % U
                 scores = self.model.predict_user_block(
                     params, frozen, jnp.asarray(idx), ctx
-                )
+                )[:, : self.data.num_items]
                 tmask = jnp.take(self._train_mask, jnp.asarray(idx), axis=0)
                 top_idx, top_scores = topk_recommendations(scores, tmask, self.k)
                 top_idx = np.asarray(top_idx)
@@ -154,7 +156,9 @@ class Evaluator:
         """Attention-augmented top-k TSV (Evaluator.py:241-259):
         `user\\titem\\tscore\\talpha_color\\talpha_edges\\talpha_class`.
 
-        attention_fn(params, frozen, user_ids) -> [B, I, 3] modality weights.
+        attention_fn(params, frozen, user_ids, ctx) -> [B, I, 3] weights
+        (ctx is the model's precompute_eval result, passed so the item
+        encodings are not recomputed per user block).
         """
         U = self.data.num_users
         ctx = self.model.precompute_eval(params, frozen)
@@ -163,8 +167,8 @@ class Evaluator:
                 idx = (np.arange(self.user_block) + start) % U
                 scores = self.model.predict_user_block(
                     params, frozen, jnp.asarray(idx), ctx
-                )
-                att = attention_fn(params, frozen, jnp.asarray(idx))
+                )[:, : self.data.num_items]
+                att = attention_fn(params, frozen, jnp.asarray(idx), ctx)
                 tmask = jnp.take(self._train_mask, jnp.asarray(idx), axis=0)
                 top_idx, top_scores = topk_recommendations(scores, tmask, self.k)
                 top_idx, top_scores, att = map(np.asarray, (top_idx, top_scores, att))

@@ -184,8 +184,12 @@ def make_spmd_epoch_fn(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: TrainState, frozen, key,
               train_pairs, padded_pos, pos_counts):
+        # same key discipline as the single-device epoch (trainer.py):
+        # identical keys must produce identical batches on any mesh
+        sample_key, _step_key = jax.random.split(key)
         users, pos, neg = sample_triplets(
-            key, train_pairs, padded_pos, pos_counts, num_items, steps, batch
+            sample_key, train_pairs, padded_pos, pos_counts,
+            num_items, steps, batch,
         )
 
         def body(st, sb):

@@ -63,12 +63,27 @@ class Trainer:
                 f"batch_size {cfg.batch_size} > {data.num_train} interactions"
             )
 
+        # multi-device: shard tables over `model`, batch over `data`
+        self.mesh = None
+        if cfg.mesh.num_devices > 1:
+            from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+            self.mesh = make_mesh(data=cfg.mesh.data, model=cfg.mesh.model)
+
         # device-resident sampler tables
         self._train_pairs = jnp.asarray(data.train_pairs)
         self._padded_pos = jnp.asarray(data.padded_pos)
         self._pos_counts = jnp.asarray(data.pos_counts)
 
-        self._epoch_fn = self._build_epoch_fn()
+        if self.mesh is not None:
+            from fashionvisualexpl_tpu.parallel.spmd import make_spmd_epoch_fn
+
+            self._epoch_fn = make_spmd_epoch_fn(
+                model, self.mesh, self.tx, cfg.reg, data.num_items,
+                self.steps_per_epoch, cfg.batch_size,
+            )
+        else:
+            self._epoch_fn = self._build_epoch_fn()
 
     def _build_epoch_fn(self) -> Callable:
         model, cfg = self.model, self.cfg
@@ -106,6 +121,10 @@ class Trainer:
     def init_state(self, rng: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         params, frozen = self.model.init(rng)
+        if self.mesh is not None:
+            from fashionvisualexpl_tpu.parallel.spmd import shard_params
+
+            params, frozen = shard_params(self.model, params, frozen, self.mesh)
         return create_train_state(params, self.tx), frozen
 
     def run_epoch(

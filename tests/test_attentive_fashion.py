@@ -86,7 +86,7 @@ def test_trains_end_to_end_with_eval_and_attention_dump(tmp_path):
     path = str(tmp_path / "att_recs.tsv")
     ev.store_recommendation_attention(
         state.params, frozen, path,
-        attention_fn=lambda p, f, ids: model.attention_weights(p, f, ids),
+        attention_fn=lambda p, f, ids, ctx: model.attention_weights(p, f, ids, ctx),
     )
     lines = open(path).read().strip().split("\n")
     assert len(lines) == data.num_users * 5

@@ -161,3 +161,43 @@ def test_spmd_epoch_fn_runs_and_learns():
         state, loss = epoch(state, frozen, jax.random.fold_in(key, e), *args)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_trainer_with_mesh_matches_single_device():
+    """Trainer(cfg.mesh=4x2) must reproduce the single-device trainer's
+    epoch numerics (same sampling keys -> same batches -> same updates)."""
+    from fashionvisualexpl_tpu.core.config import MeshConfig, TrainConfig
+    from fashionvisualexpl_tpu.eval.evaluator import Evaluator
+    from fashionvisualexpl_tpu.train.trainer import Trainer
+
+    data = synthetic_interactions(24, 32, interactions_per_user=8, seed=9)
+    cfg1 = TrainConfig(batch_size=16, epochs=1, lr=0.01, reg=0.01)
+    cfg8 = cfg1.replace(mesh=MeshConfig(data=4, model=2))
+    key = jax.random.PRNGKey(3)
+
+    m1 = BPRMF(data.num_users, data.num_items, embed_k=8)
+    t1 = Trainer(m1, data, cfg1)
+    s1, f1 = t1.init_state()
+    for e in range(3):
+        s1, l1 = t1.run_epoch(s1, f1, jax.random.fold_in(key, e))
+
+    m8 = BPRMF(data.num_users, data.num_items, embed_k=8)
+    t8 = Trainer(m8, data, cfg8)
+    s8, f8 = t8.init_state()
+    for e in range(3):
+        s8, l8 = t8.run_epoch(s8, f8, jax.random.fold_in(key, e))
+
+    np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4)
+    for k in ("Bi", "Gu", "Gi"):
+        ref = np.asarray(s1.params[k])
+        got = np.asarray(s8.params[k])[: ref.shape[0]]
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=1e-5, err_msg=k)
+
+    # eval over the sharded (row-padded) params drops pad items correctly
+    ev = Evaluator(m8, data, k=5, user_block=8)
+    metrics = ev.evaluate(s8.params, f8)
+    ref_metrics = Evaluator(m1, data, k=5, user_block=8).evaluate(
+        s1.params, f1
+    )
+    np.testing.assert_allclose(metrics["auc_t"], ref_metrics["auc_t"],
+                               rtol=1e-3)

@@ -12,10 +12,16 @@ this machine's CPU by scripts/measure_reference_baseline.py (cached in
 BASELINE_SELF.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measurement runs in a child process with a timeout + one retry: the
+remote-compile service occasionally hangs for minutes (CLAUDE.md), and the
+driver runs this exactly once per round.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 NUM_USERS = 10_000
@@ -25,6 +31,7 @@ BATCH = 256
 INTERACTIONS_PER_USER = 20
 WARMUP_EPOCHS = 1
 MEASURE_EPOCHS = 3
+CHILD_TIMEOUT_S = 1200
 
 
 def main():
@@ -83,5 +90,26 @@ def main():
     )
 
 
+def run_with_retry():
+    """Run the measurement in a child with a timeout; retry once on hang."""
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
+            )
+            for line in out.stdout.strip().splitlines()[::-1]:
+                if line.startswith("{"):
+                    print(line)
+                    return
+            sys.stderr.write(out.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt} timed out; retrying\n")
+    raise SystemExit("bench failed after retries")
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        run_with_retry()

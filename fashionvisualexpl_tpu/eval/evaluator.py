@@ -17,8 +17,6 @@ AUC.  Everything else matches.
 from __future__ import annotations
 
 import datetime
-import time
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

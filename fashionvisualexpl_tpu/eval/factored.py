@@ -14,7 +14,6 @@ Models opt in by implementing factored_eval(params, frozen) ->
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

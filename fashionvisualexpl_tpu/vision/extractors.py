@@ -168,3 +168,33 @@ def color_histogram(image_bgr: np.ndarray) -> np.ndarray:
         [rgb], [0, 1, 2], temp, [8, 8, 8], [0, 255, 0, 255, 0, 255]
     )
     return np.asarray(hist, dtype=np.int32).flatten()
+
+
+def extract_texture_grams(
+    spatial_maps,  # list of [B, H_l, W_l, C_l] conv feature maps
+    resize_gram=(32, 32),
+):
+    """Gram-matrix texture features (reference src/vision/
+    OLD_CnnFeatureExtractor.py:40-61 — the only texture implementation in
+    the reference, feeding its CompVBPR texture family): for each layer's
+    map, G = F F^T / numel over channel vectors, resized to a fixed grid and
+    flattened; layers concatenate to [B, n_layers * prod(resize_gram)].
+
+    The gram products run on the MXU (one batched matmul per layer); the
+    resize is a host-side cv2 bicubic like the reference's."""
+    import cv2
+    import numpy as np
+
+    out = []
+    for fmap in spatial_maps:
+        fmap = np.asarray(fmap)
+        B, H, W, C = fmap.shape
+        f = jnp.asarray(fmap).reshape(B, H * W, C)
+        gram = jnp.einsum("bsc,bsd->bcd", f, f) / float(H * W * C)
+        gram = np.asarray(gram)
+        resized = np.stack([
+            cv2.resize(g, dsize=resize_gram, interpolation=cv2.INTER_CUBIC)
+            for g in gram
+        ])
+        out.append(resized.reshape(B, -1))
+    return np.concatenate(out, axis=1)

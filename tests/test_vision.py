@@ -153,3 +153,19 @@ def test_image_folder_dataset_and_extraction_driver(tmp_path):
         )
     )
     assert os.path.exists(paths.classes_csv("mini", "ResNet50"))
+
+
+def test_texture_grams():
+    from fashionvisualexpl_tpu.vision.extractors import extract_texture_grams
+
+    rng = np.random.default_rng(0)
+    maps = [rng.random((3, 8, 8, 16)).astype(np.float32),
+            rng.random((3, 4, 4, 32)).astype(np.float32)]
+    out = extract_texture_grams(maps, resize_gram=(8, 8))
+    assert out.shape == (3, 2 * 64)
+    # gram of layer 0 for sample 0 matches the direct computation
+    f = maps[0][0].reshape(-1, 16)
+    g = (f.T @ f) / f.size
+    import cv2
+    want = cv2.resize(g, dsize=(8, 8), interpolation=cv2.INTER_CUBIC).flatten()
+    np.testing.assert_allclose(out[0, :64], want, rtol=1e-4, atol=1e-6)

@@ -20,3 +20,29 @@ dumps, and gradient-x-input explanations — rebuilt TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import fashionvisualexpl_tpu` light)."""
+    surface = {
+        "TrainConfig": "fashionvisualexpl_tpu.core.config",
+        "Paths": "fashionvisualexpl_tpu.core.config",
+        "MeshConfig": "fashionvisualexpl_tpu.core.config",
+        "Interactions": "fashionvisualexpl_tpu.data.interactions",
+        "synthetic_interactions": "fashionvisualexpl_tpu.data.interactions",
+        "BPRMF": "fashionvisualexpl_tpu.models.bprmf",
+        "VBPR": "fashionvisualexpl_tpu.models.vbpr",
+        "GradFashion": "fashionvisualexpl_tpu.models.grad_fashion",
+        "AttentiveFashion": "fashionvisualexpl_tpu.models.attentive_fashion",
+        "ACF": "fashionvisualexpl_tpu.models.acf",
+        "Trainer": "fashionvisualexpl_tpu.train.trainer",
+        "fit": "fashionvisualexpl_tpu.train.trainer",
+        "Evaluator": "fashionvisualexpl_tpu.eval.evaluator",
+        "FactoredEvaluator": "fashionvisualexpl_tpu.eval.factored",
+        "CheckpointManager": "fashionvisualexpl_tpu.core.checkpoint",
+    }
+    if name in surface:
+        import importlib
+
+        return getattr(importlib.import_module(surface[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -286,13 +286,27 @@ class AttentiveFashion(RecommenderModel):
 
     def attention_weights(self, params, frozen, user_ids, ctx=None):
         """[B_u, I, 3] modality attention per user x item — the payload of
-        store_recommendation_attention (Evaluator.py:241-259)."""
+        store_recommendation_attention (Evaluator.py:241-259).  Blocked over
+        items like the scoring path so the [B_u, I_blk, 3, t] intermediate
+        stays bounded."""
         e_items = ctx if ctx is not None else self.precompute_eval(params, frozen)
         gamma_u = jnp.take(params["Gu"], user_ids, axis=0)
-        alpha = self._attention(
-            params, gamma_u[:, None, :], e_items[None, :, :, :]
-        )  # [B_u, I, 3, 1]
-        return alpha[..., 0]
+        I = e_items.shape[0]
+        blk = min(self.item_block, I)
+        n_blocks = -(-I // blk)
+        pad = n_blocks * blk - I
+        e_pad = jnp.pad(e_items, ((0, pad), (0, 0), (0, 0)))
+        e_blocks = e_pad.reshape(n_blocks, blk, *e_items.shape[1:])
+
+        def one_block(e_b):
+            alpha = self._attention(
+                params, gamma_u[:, None, :], e_b[None, :, :, :]
+            )  # [B_u, blk, 3, 1]
+            return alpha[..., 0]
+
+        alpha = jax.lax.map(one_block, e_blocks)  # [n, B_u, blk, 3]
+        alpha = jnp.moveaxis(alpha, 0, 1).reshape(gamma_u.shape[0], -1, 3)
+        return alpha[:, :I]
 
     # --- streamed-feature variants (catalogs whose modality tensors exceed
     # HBM; features arrive per batch from the host pipeline) ---

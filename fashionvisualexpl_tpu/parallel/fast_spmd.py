@@ -1,0 +1,205 @@
+"""Sharded fast path: row-sharded tables + compact-grad sparse-apply Adam.
+
+Combines the two scaling mechanisms into one SPMD step (the training path of
+BASELINE.json config 5 — sharded embedding training across chips/hosts):
+
+- tables and their Adam moments row-sharded over the `model` mesh axis,
+  batch sharded over `data` (parallel/spmd.py's layout);
+- the fast path's dense-gradient-free update (train/fast.py): grads wrt
+  gathered rows only, sort + segment-sum dedupe, pre-scaled unique scatter,
+  one fused decay+update sweep over the LOCAL shard.
+
+Per step and device: collective lookup = masked local gather + psum over
+`model` (ICI); row-grad psum over `data`; then every model-shard applies the
+compact updates that land in its row range — no dense table gradients, no
+cross-shard optimizer traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fashionvisualexpl_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from fashionvisualexpl_tpu.data.sampler import sample_triplets
+from fashionvisualexpl_tpu.models.base import bpr_pairwise_loss, l2_loss
+from fashionvisualexpl_tpu.train.fast import (
+    B1,
+    B2,
+    EPS,
+    FastState,
+    compact_row_grads,
+)
+
+
+def _sharded_take(table_shard, ids, axis_name=MODEL_AXIS):
+    """Masked local gather + psum (collective lookup for row-sharded tables)."""
+    shard = jax.lax.axis_index(axis_name)
+    rows = table_shard.shape[0]
+    local = ids - shard * rows
+    ok = jnp.logical_and(local >= 0, local < rows)
+    vals = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)
+    mask = ok if table_shard.ndim == 1 else ok[..., None]
+    return jax.lax.psum(jnp.where(mask, vals, 0.0), axis_name)
+
+
+def _sharded_sparse_adam(p, m, v, uids, g, lr, t, axis_name=MODEL_AXIS):
+    """Sparse-apply Adam on a row shard: scatter only the compact rows this
+    shard owns (pre-scaled, so the uniform decay completes the exact Adam
+    update), then one fused local sweep."""
+    shard = jax.lax.axis_index(axis_name)
+    rows = p.shape[0]
+    local = uids - shard * rows
+    ok = jnp.logical_and(local >= 0, local < rows)
+    safe = jnp.where(ok, local, 0)
+    if g.ndim < m.ndim:
+        g = g[..., None] if m.ndim == 2 and g.ndim == 1 else g
+    gmask = ok if g.ndim == 1 else ok[:, None]
+    gm = jnp.where(gmask, (1.0 - B1) / B1 * g, 0.0)
+    gv = jnp.where(gmask, (1.0 - B2) / B2 * jnp.square(g), 0.0)
+    # ids deduped upstream; padded segments have zero grads (+0 into row 0)
+    m = m.at[safe].add(gm, unique_indices=True)
+    v = v.at[safe].add(gv, unique_indices=True)
+    m = m * B1
+    v = v * B2
+    m_hat = m / (1.0 - B1 ** t)
+    v_hat = v / (1.0 - B2 ** t)
+    p = p - lr * m_hat / (jnp.sqrt(v_hat) + EPS)
+    return p, m, v
+
+
+def make_fast_spmd_epoch_fn(
+    model,  # BPRMF
+    mesh: Mesh,
+    lr: float,
+    reg: float,
+    num_items: int,
+    steps: int,
+    batch: int,
+    with_replacement: bool = False,
+) -> Callable:
+    """Sharded fast epoch for BPRMF: one jitted program — on-device sampling,
+    lax.scan of shard_mapped fast steps."""
+    d_size = mesh.shape[DATA_AXIS]
+    if batch % d_size != 0:
+        raise ValueError(f"batch {batch} not divisible by data axis {d_size}")
+
+    def local_step(state: FastState, u, p_ids, n_ids):
+        """Runs per-device: u/p/n are this data-shard's batch slice; params
+        and moments are this model-shard's rows."""
+        Pp = state.params
+        gu = _sharded_take(Pp["Gu"], u)
+        gp = _sharded_take(Pp["Gi"], p_ids)
+        gn = _sharded_take(Pp["Gi"], n_ids)
+        bp = _sharded_take(Pp["Bi"], p_ids)
+        bn = _sharded_take(Pp["Bi"], n_ids)
+
+        def local_loss(gu, gp, gn, bp, bn):
+            x_pos = bp + jnp.sum(gu * gp, axis=1)
+            x_neg = bn + jnp.sum(gu * gn, axis=1)
+            loss = bpr_pairwise_loss(x_pos, x_neg)
+            return loss + (
+                reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn)) * 2.0
+                + reg * l2_loss(bp) * 2.0
+                + reg * l2_loss(bn) * 2.0 / 10.0
+            )
+
+        loss, grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2, 3, 4)
+        )(gu, gp, gn, bp, bn)
+        loss = jax.lax.psum(loss, DATA_AXIS)
+
+        # gather ids + row grads across the data axis so every device holds
+        # the full batch's contributions, then dedupe once
+        def gather_all(x):
+            g = jax.lax.all_gather(x, DATA_AXIS)
+            return g.reshape((-1,) + g.shape[2:])
+
+        u_all = gather_all(u)
+        p_all = gather_all(p_ids)
+        n_all = gather_all(n_ids)
+        dgu, dgp, dgn, dbp, dbn = (gather_all(g) for g in grads)
+
+        t = (state.step + 1).astype(jnp.float32)
+        B = u_all.shape[0]
+        new_p, new_m, new_v = (
+            dict(Pp), dict(state.mu), dict(state.nu)
+        )
+        uids, g = compact_row_grads(u_all, dgu, B)
+        new_p["Gu"], new_m["Gu"], new_v["Gu"] = _sharded_sparse_adam(
+            Pp["Gu"], state.mu["Gu"], state.nu["Gu"], uids, g, lr, t
+        )
+        ii = jnp.concatenate([p_all, n_all])
+        uids, g = compact_row_grads(ii, jnp.concatenate([dgp, dgn]), 2 * B)
+        new_p["Gi"], new_m["Gi"], new_v["Gi"] = _sharded_sparse_adam(
+            Pp["Gi"], state.mu["Gi"], state.nu["Gi"], uids, g, lr, t
+        )
+        uids, g = compact_row_grads(ii, jnp.concatenate([dbp, dbn]), 2 * B)
+        new_p["Bi"], new_m["Bi"], new_v["Bi"] = _sharded_sparse_adam(
+            Pp["Bi"], state.mu["Bi"], state.nu["Bi"], uids, g, lr, t
+        )
+        return FastState(state.step + 1, new_p, new_m, new_v), loss
+
+    def table_specs():
+        ndims = {"Bi": 1, "Gu": 2, "Gi": 2}
+        return {
+            k: P(MODEL_AXIS, *([None] * (nd - 1))) for k, nd in ndims.items()
+        }
+
+    state_specs = FastState(
+        step=P(),
+        params=table_specs(),
+        mu=table_specs(),
+        nu=table_specs(),
+    )
+    batch_spec = P(DATA_AXIS)
+
+    sharded_step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_specs, batch_spec, batch_spec, batch_spec),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: FastState, key, train_pairs, padded_pos, pos_counts):
+        sample_key, _ = jax.random.split(key)
+        users, pos, neg = sample_triplets(
+            sample_key, train_pairs, padded_pos, pos_counts,
+            num_items, steps, batch, with_replacement=with_replacement,
+        )
+
+        def body(st, sb):
+            u, p, n = sb
+            return sharded_step(st, u, p, n)
+
+        state, losses = jax.lax.scan(body, state, (users, pos, neg))
+        return state, jnp.sum(losses)
+
+    return epoch
+
+
+def shard_fast_state(state: FastState, mesh: Mesh) -> FastState:
+    """Place a FastState with tables (and moments) row-sharded over `model`.
+    Rows must divide the model-axis size (pad upstream if needed)."""
+    from jax.sharding import NamedSharding
+
+    def place(tree):
+        out = {}
+        for k, v in tree.items():
+            spec = P(MODEL_AXIS, *([None] * (v.ndim - 1)))
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        return out
+
+    return FastState(
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        params=place(state.params),
+        mu=place(state.mu),
+        nu=place(state.nu),
+    )

@@ -1,0 +1,60 @@
+"""Sharded fast path must match the single-device fast path numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashionvisualexpl_tpu.core.mesh import make_mesh
+from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+from fashionvisualexpl_tpu.models.bprmf import BPRMF
+from fashionvisualexpl_tpu.parallel.fast_spmd import (
+    make_fast_spmd_epoch_fn,
+    shard_fast_state,
+)
+from fashionvisualexpl_tpu.train.fast import init_fast_state, make_fast_epoch_fn
+
+
+def test_fast_spmd_matches_fast_single_device():
+    mesh = make_mesh(data=4, model=2)
+    # num_users/items divisible by model axis (padding is upstream's job)
+    data = synthetic_interactions(24, 32, interactions_per_user=8, seed=0)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    lr, reg, batch = 0.01, 0.01, 16
+    steps = data.steps_per_epoch(batch)
+    args = (
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+    )
+    key = jax.random.PRNGKey(0)
+
+    params, _ = model.init(jax.random.PRNGKey(1))
+
+    # single-device fast path (keys must line up: the single-device fast
+    # epoch uses `key` directly for sampling; SPMD splits — run both through
+    # the same sampler discipline by comparing with the split variant)
+    s1 = init_fast_state(params)
+    ep1 = make_fast_epoch_fn(model, lr, reg, data.num_items, steps, batch)
+    s8 = shard_fast_state(init_fast_state(params), mesh)
+    ep8 = make_fast_spmd_epoch_fn(
+        model, mesh, lr, reg, data.num_items, steps, batch
+    )
+
+    for e in range(3):
+        k = jax.random.fold_in(key, e)
+        sk, _ = jax.random.split(k)
+        # feed the single-device epoch the pre-split key so both paths
+        # sample identical batches
+        s1, l1 = ep1(s1, sk, *args)
+        s8, l8 = ep8(s8, k, *args)
+
+    np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4)
+    for name in ("Bi", "Gu", "Gi"):
+        np.testing.assert_allclose(
+            np.asarray(s8.params[name]), np.asarray(s1.params[name]),
+            rtol=3e-4, atol=1e-5, err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s8.mu[name]), np.asarray(s1.mu[name]),
+            rtol=3e-4, atol=1e-6, err_msg=f"mu {name}",
+        )

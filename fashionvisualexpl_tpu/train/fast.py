@@ -103,10 +103,14 @@ def dense_adam(p, m, v, g, lr, t):
 
 
 def make_fast_bprmf_step(model, lr: float, reg: float,
-                         fused_adam: bool = False) -> Callable:
+                         fused_adam: bool = False,
+                         pallas_bpr: bool = False,
+                         bpr_tile: int = 512) -> Callable:
     """Fast train step for BPRMF (reference loss semantics,
     BPRMF.py:95-112).  fused_adam=True routes the full-table sweep through
-    the one-pass Pallas kernel (ops/adam.py)."""
+    the one-pass Pallas kernel (ops/adam.py); pallas_bpr=True computes the
+    pairwise loss + analytic row gradients through the fused Pallas BPR
+    kernel (ops/bpr.py) instead of autodiff over the jnp chain."""
     from fashionvisualexpl_tpu.models.base import bpr_pairwise_loss, l2_loss
 
     if fused_adam:
@@ -114,6 +118,9 @@ def make_fast_bprmf_step(model, lr: float, reg: float,
         apply_table = sparse_adam_table_fused
     else:
         apply_table = sparse_adam_table
+
+    if pallas_bpr:
+        from fashionvisualexpl_tpu.ops.bpr import bpr_triplet_loss
 
     def step(state: FastState, batch) -> Tuple[FastState, jax.Array]:
         u, p_ids, n_ids = batch
@@ -124,20 +131,39 @@ def make_fast_bprmf_step(model, lr: float, reg: float,
         bp = jnp.take(P["Bi"], p_ids)
         bn = jnp.take(P["Bi"], n_ids)
 
-        def local_loss(gu, gp, gn, bp, bn):
-            x_pos = bp + jnp.sum(gu * gp, axis=1)
-            x_neg = bn + jnp.sum(gu * gn, axis=1)
-            loss = bpr_pairwise_loss(x_pos, x_neg)
-            return loss + (
+        if pallas_bpr:
+            # fused kernel fwd/bwd for the pairwise term; reg grads are
+            # analytic (d(2 reg l2(x))/dx = 2 reg x)
+            pair_loss, vjp = jax.vjp(
+                lambda *a: bpr_triplet_loss(*a, bpr_tile, False),
+                gu, gp, gn, bp, bn,
+            )
+            dgu, dgp, dgn, dbp, dbn = vjp(jnp.float32(1.0))
+            dgu = dgu + 2.0 * reg * gu
+            dgp = dgp + 2.0 * reg * gp
+            dgn = dgn + 2.0 * reg * gn
+            dbp = dbp + 2.0 * reg * bp
+            dbn = dbn + (2.0 * reg / 10.0) * bn
+            loss = pair_loss + (
                 reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn)) * 2.0
                 + reg * l2_loss(bp) * 2.0
                 + reg * l2_loss(bn) * 2.0 / 10.0
             )
+        else:
+            def local_loss(gu, gp, gn, bp, bn):
+                x_pos = bp + jnp.sum(gu * gp, axis=1)
+                x_neg = bn + jnp.sum(gu * gn, axis=1)
+                loss = bpr_pairwise_loss(x_pos, x_neg)
+                return loss + (
+                    reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn)) * 2.0
+                    + reg * l2_loss(bp) * 2.0
+                    + reg * l2_loss(bn) * 2.0 / 10.0
+                )
 
-        loss, grads = jax.value_and_grad(local_loss, argnums=(0, 1, 2, 3, 4))(
-            gu, gp, gn, bp, bn
-        )
-        dgu, dgp, dgn, dbp, dbn = grads
+            loss, grads = jax.value_and_grad(
+                local_loss, argnums=(0, 1, 2, 3, 4)
+            )(gu, gp, gn, bp, bn)
+            dgu, dgp, dgn, dbp, dbn = grads
         t = (state.step + 1).astype(jnp.float32)
         B = u.shape[0]
 
@@ -164,8 +190,10 @@ def make_fast_bprmf_step(model, lr: float, reg: float,
 def make_fast_epoch_fn(model, lr: float, reg: float, num_items: int,
                        steps: int, batch: int,
                        fused_adam: bool = False,
-                       with_replacement: bool = False) -> Callable:
-    step_fn = make_fast_bprmf_step(model, lr, reg, fused_adam=fused_adam)
+                       with_replacement: bool = False,
+                       pallas_bpr: bool = False) -> Callable:
+    step_fn = make_fast_bprmf_step(model, lr, reg, fused_adam=fused_adam,
+                                   pallas_bpr=pallas_bpr)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: FastState, key, train_pairs, padded_pos, pos_counts):

@@ -97,3 +97,63 @@ def test_fast_vbpr_matches_dense_path():
             np.asarray(dense_state.params[k]),
             rtol=3e-4, atol=1e-6, err_msg=k,
         )
+
+
+def test_pallas_bpr_fast_step_matches_plain():
+    """The Pallas-kernel-backed fast step must produce the same params as
+    the autodiff-backed fast step (interpret-mode kernel on CPU)."""
+    import fashionvisualexpl_tpu.train.fast as F
+
+    data = synthetic_interactions(20, 30, interactions_per_user=6, seed=3)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    lr, reg = 0.01, 0.02
+    params, _ = model.init(jax.random.PRNGKey(2))
+
+    plain = init_fast_state(params)
+    kern = init_fast_state(params)
+    step_plain = jax.jit(F.make_fast_bprmf_step(model, lr, reg))
+    from fashionvisualexpl_tpu.ops.bpr import bpr_triplet_loss as orig
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        u = jnp.asarray(rng.integers(0, 20, 16), jnp.int32)
+        p = jnp.asarray(rng.integers(0, 30, 16), jnp.int32)
+        n = jnp.asarray(rng.integers(0, 30, 16), jnp.int32)
+        plain, lp = step_plain(plain, (u, p, n))
+        # replicate the pallas_bpr step with the interpret-mode kernel
+        # (the production flag runs the compiled kernel, TPU-only)
+        P = kern.params
+        gu = jnp.take(P["Gu"], u, axis=0)
+        gp_ = jnp.take(P["Gi"], p, axis=0)
+        gn_ = jnp.take(P["Gi"], n, axis=0)
+        bp_ = jnp.take(P["Bi"], p)
+        bn_ = jnp.take(P["Bi"], n)
+        pair_loss, vjp = jax.vjp(
+            lambda *a: orig(*a, 16, True), gu, gp_, gn_, bp_, bn_
+        )
+        dgu, dgp, dgn, dbp, dbn = vjp(jnp.float32(1.0))
+        dgu = dgu + 2.0 * reg * gu
+        dgp = dgp + 2.0 * reg * gp_
+        dgn = dgn + 2.0 * reg * gn_
+        dbp = dbp + 2.0 * reg * bp_
+        dbn = dbn + (2.0 * reg / 10.0) * bn_
+        t = (kern.step + 1).astype(jnp.float32)
+        B = 16
+        new_p, new_m, new_v = dict(P), dict(kern.mu), dict(kern.nu)
+        uids, g = F.compact_row_grads(u, dgu, B)
+        new_p["Gu"], new_m["Gu"], new_v["Gu"] = F.sparse_adam_table(
+            P["Gu"], kern.mu["Gu"], kern.nu["Gu"], uids, g, lr, t)
+        ii = jnp.concatenate([p, n])
+        uids, g = F.compact_row_grads(ii, jnp.concatenate([dgp, dgn]), 2 * B)
+        new_p["Gi"], new_m["Gi"], new_v["Gi"] = F.sparse_adam_table(
+            P["Gi"], kern.mu["Gi"], kern.nu["Gi"], uids, g, lr, t)
+        uids, g = F.compact_row_grads(ii, jnp.concatenate([dbp, dbn]), 2 * B)
+        new_p["Bi"], new_m["Bi"], new_v["Bi"] = F.sparse_adam_table(
+            P["Bi"], kern.mu["Bi"], kern.nu["Bi"], uids, g, lr, t)
+        kern = F.FastState(kern.step + 1, new_p, new_m, new_v)
+
+    for k in ("Bi", "Gu", "Gi"):
+        np.testing.assert_allclose(
+            np.asarray(kern.params[k]), np.asarray(plain.params[k]),
+            rtol=3e-4, atol=1e-6, err_msg=k,
+        )

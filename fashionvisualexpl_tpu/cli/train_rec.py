@@ -155,12 +155,13 @@ def train(argv=None):
 
         model = build_model(args, data, cfg)
         if args.streaming_eval and hasattr(model, "factored_eval"):
+            # the streaming evaluator also writes the recommendation dumps —
+            # constructing the dense Evaluator here would allocate the
+            # [U, I] train mask the streaming path exists to avoid
             evaluator = FactoredEvaluator(
                 model, data, k=cfg.top_k, user_block=args.eval_user_block
             )
-            dump_evaluator = Evaluator(
-                model, data, k=cfg.top_k, user_block=args.eval_user_block
-            )
+            dump_evaluator = evaluator
         else:
             evaluator = Evaluator(
                 model, data, k=cfg.top_k, user_block=args.eval_user_block

@@ -69,6 +69,7 @@ class HostPrefetcher:
         self._gather = gather_fn
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error = None
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
@@ -76,6 +77,8 @@ class HostPrefetcher:
         try:
             for ids in self._iter:
                 self._q.put((ids, self._gather(ids)))
+        except BaseException as exc:  # re-raised on the consumer side
+            self._error = exc
         finally:
             self._q.put(self._done)
 
@@ -85,5 +88,11 @@ class HostPrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                # surface worker failures instead of silently truncating
+                # the epoch
+                raise RuntimeError(
+                    "HostPrefetcher worker failed"
+                ) from self._error
             raise StopIteration
         return item

@@ -29,7 +29,7 @@ from fashionvisualexpl_tpu.ops.topk import (
 
 
 def sharded_streaming_topk_and_counts(
-    mesh, uf, item_factors, item_bias, k, ref_scores, ref_ids, item_block
+    mesh, uf, item_factors, item_bias, k, ref_scores, banned_ids, item_block
 ):
     """Distributed streaming pass: item factors row-sharded over `model`;
     each shard scans its local items with its global offset, then the
@@ -46,11 +46,14 @@ def sharded_streaming_topk_and_counts(
         raise ValueError(f"items {I} not divisible by model axis {m_size}")
     rows = I // m_size
 
-    def shard_fn(uf, iv, ib, ref_s, ref_i):
+    has_ref = ref_scores is not None
+
+    def shard_fn(uf, iv, ib, ref_s, banned):
         shard = jax.lax.axis_index(MODEL_AXIS)
         tv, ti, counts = streaming_topk_and_counts(
             uf, iv, None if ib is None else ib, k,
-            ref_scores=ref_s, ref_ids=ref_i,
+            ref_scores=ref_s if has_ref else None,
+            banned_ids=banned if has_ref else None,
             item_block=item_block, item_offset=shard * rows,
         )
         # merge candidates across shards: [M, Bu, k] -> [Bu, M*k] -> top-k
@@ -61,9 +64,17 @@ def sharded_streaming_topk_and_counts(
         all_ti = jnp.moveaxis(all_ti, 0, 1).reshape(Bu, -1)
         merged_v, pos = jax.lax.top_k(all_tv, k)
         merged_i = jnp.take_along_axis(all_ti, pos, axis=1)
-        counts = jax.lax.psum(counts, MODEL_AXIS)
+        if has_ref:
+            counts = jax.lax.psum(counts, MODEL_AXIS)
+        else:
+            counts = jnp.zeros((uf.shape[0], 1), jnp.int32)
         return merged_v, merged_i, counts
 
+    if not has_ref:
+        # placeholders keep the shard_map signature static
+        Bu = uf.shape[0]
+        ref_scores = jnp.zeros((Bu, 1), jnp.float32)
+        banned_ids = jnp.full((Bu, 1), -1, jnp.int32)
     bias_spec = P() if item_bias is None else P(MODEL_AXIS)
     fn = shard_map(
         shard_fn,
@@ -72,7 +83,8 @@ def sharded_streaming_topk_and_counts(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(uf, item_factors, item_bias, ref_scores, ref_ids)
+    out_v, out_i, out_c = fn(uf, item_factors, item_bias, ref_scores, banned_ids)
+    return out_v, out_i, (out_c if has_ref else None)
 
 
 class FactoredEvaluator:
@@ -129,48 +141,37 @@ class FactoredEvaluator:
             return s
 
         s_eval = pointwise(ev_items)  # [Bu, T]
-        s_train = pointwise(train_items)  # [Bu, P]
 
         T = ev_items.shape[1]
         P = train_items.shape[1]
         t_valid = jnp.arange(T)[None, :] < ev_counts[:, None]
         p_valid = jnp.arange(P)[None, :] < train_counts[:, None]
 
+        # candidate-negative set = all - train - eval: exclusions happen BY
+        # ID inside the streaming scan (externally recomputed scores can
+        # differ from the block matmul in the last ulp and shift the counts
+        # at exact-tie boundaries).  Pad slots become -1: never a real id.
+        banned = jnp.concatenate(
+            [
+                jnp.where(p_valid, train_items, -1),
+                jnp.where(t_valid, ev_items, -1),
+            ],
+            axis=1,
+        )  # [Bu, P+T]
+
         k_big = k + P  # enough candidates to survive train filtering
         if self.mesh is not None:
-            top_vals, top_idx, counts_all = sharded_streaming_topk_and_counts(
+            top_vals, top_idx, position_t = sharded_streaming_topk_and_counts(
                 self.mesh, uf, item_factors, item_bias, k_big,
-                s_eval, ev_items, self.item_block,
+                s_eval, banned, self.item_block,
             )
         else:
-            top_vals, top_idx, counts_all = streaming_topk_and_counts(
+            top_vals, top_idx, position_t = streaming_topk_and_counts(
                 uf, item_factors, item_bias, k_big,
-                ref_scores=s_eval, ref_ids=ev_items,
+                ref_scores=s_eval, banned_ids=banned,
                 item_block=self.item_block,
             )
-        # counts_all[t] excludes eval item t itself (by id, inside the scan)
-
-        # corrections: counts over the neg set = all - self - train - others
-        ge_train = jnp.sum(
-            jnp.logical_and(
-                p_valid[:, :, None], s_train[:, :, None] >= s_eval[:, None, :]
-            ),
-            axis=1, dtype=jnp.int32,
-        )  # [Bu, T]
-        ge_eval_others = jnp.sum(
-            jnp.logical_and(
-                jnp.logical_and(
-                    t_valid[:, :, None],
-                    ev_items[:, :, None] != ev_items[:, None, :],
-                ),
-                s_eval[:, :, None] >= s_eval[:, None, :],
-            ),
-            axis=1, dtype=jnp.int32,
-        )
-        position = jnp.sum(
-            jnp.where(t_valid, counts_all - ge_train - ge_eval_others, 0),
-            axis=1,
-        )
+        position = jnp.sum(jnp.where(t_valid, position_t, 0), axis=1)
         num_neg = I - train_counts - ev_counts
         denom = jnp.maximum(num_neg * ev_counts, 1).astype(jnp.float32)
         auc = 1.0 - position.astype(jnp.float32) / denom
@@ -211,6 +212,15 @@ class FactoredEvaluator:
 
     def evaluate(self, params, frozen) -> Dict[str, float]:
         uf, item_factors, item_bias = self.model.factored_eval(params, frozen)
+        # sharded tables are row-padded to the mesh multiple (score 0 for
+        # pad items) — strip them so they cannot enter top-k or counts.
+        # Under the distributed path the shard row count must still divide
+        # the model axis, which sharded_streaming checks explicitly.
+        if self.mesh is None:
+            uf = uf[: self.data.num_users]
+            item_factors = item_factors[: self.data.num_items]
+            if item_bias is not None:
+                item_bias = item_bias[: self.data.num_items]
         out: Dict[str, float] = {}
         t = self._eval_split("test", uf, item_factors, item_bias)
         out.update(
@@ -231,3 +241,47 @@ class FactoredEvaluator:
         from fashionvisualexpl_tpu.eval.evaluator import print_epoch_block
 
         print_epoch_block(self.k, epoch, total_epochs, mean_loss, rec)
+
+    def store_recommendation(self, params, frozen, path: str) -> None:
+        """Plain top-k TSV (`user\\titem\\tscore`, train items excluded —
+        the Evaluator.store_recommendation protocol, Evaluator.py:225-239)
+        computed by the streaming path: never materializes [U, I]."""
+        uf_all, item_factors, item_bias = self.model.factored_eval(
+            params, frozen
+        )
+        if self.mesh is None:
+            uf_all = uf_all[: self.data.num_users]
+            item_factors = item_factors[: self.data.num_items]
+            if item_bias is not None:
+                item_bias = item_bias[: self.data.num_items]
+        U = self.data.num_users
+        P = self._train_items.shape[1]
+        k_big = self.k + P
+        with open(path, "w") as out:
+            for start in range(0, U, self.user_block):
+                idx = (np.arange(self.user_block) + start) % U
+                uf = jnp.take(uf_all, jnp.asarray(idx), axis=0)
+                train_items = jnp.take(
+                    self._train_items, jnp.asarray(idx), axis=0
+                )
+                train_counts = jnp.take(self._train_counts, jnp.asarray(idx))
+                if self.mesh is not None:
+                    tv, ti, _ = sharded_streaming_topk_and_counts(
+                        self.mesh, uf, item_factors, item_bias, k_big,
+                        None, None, self.item_block,
+                    )
+                else:
+                    tv, ti, _ = streaming_topk_and_counts(
+                        uf, item_factors, item_bias, k_big,
+                        item_block=self.item_block,
+                    )
+                vals, ids = filter_items_topk(
+                    tv, ti, train_items, train_counts, self.k
+                )
+                vals, ids = np.asarray(vals), np.asarray(ids)
+                for row in range(self.user_block):
+                    u = start + row
+                    if u >= U:
+                        break
+                    for j in range(self.k):
+                        out.write(f"{u}\t{ids[row, j]}\t{vals[row, j]}\n")

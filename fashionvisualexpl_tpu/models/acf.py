@@ -148,9 +148,11 @@ class ACF(RecommenderModel):
         """gamma_u + sum_p alpha_p p_i over the user's positives.  [B, K]."""
         pos_key = "pos_train" if train_only else "pos_eval"
         cnt_key = "cnt_train" if train_only else "cnt_eval"
+        # self.take routes through the collective lookup for the row-sharded
+        # tables under SPMD (frozen positives/spatial maps stay replicated)
         pos = jnp.take(frozen[pos_key], users, axis=0)  # [B, P]
         cnt = jnp.take(frozen[cnt_key], users)  # [B]
-        g_u = jnp.take(params["Gu"], users, axis=0)  # [B, K]
+        g_u = self.take("Gu", params["Gu"], users)  # [B, K]
         f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
 
         comp = params["comp"]
@@ -167,8 +169,13 @@ class ACF(RecommenderModel):
         x_l = jnp.einsum("bps,bpsc->bpc", beta, f)  # [B, P, C]
 
         item = params["item"]
-        g_i = jnp.take(params["Gi"], pos, axis=0)  # [B, P, K]
-        p_i = jnp.take(params["Pi"], pos, axis=0)  # [B, P, K]
+        B_, P_ = pos.shape
+        g_i = self.take("Gi", params["Gi"], pos.reshape(-1)).reshape(
+            B_, P_, -1
+        )  # [B, P, K]
+        p_i = self.take("Pi", params["Pi"], pos.reshape(-1)).reshape(
+            B_, P_, -1
+        )  # [B, P, K]
         a = (
             (g_u @ item["W0_u"])[:, None, :]
             + g_i @ item["W0_iv"]

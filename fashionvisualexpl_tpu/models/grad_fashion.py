@@ -174,8 +174,15 @@ class GradFashion(RecommenderModel):
             + vis_bias[None, :]
         )
 
+    def precompute_eval(self, params, frozen):
+        """Projected item factors, computed once per evaluation (the
+        evaluator passes them back as ctx to every user block)."""
+        return self.item_factors(params, frozen)
+
     def predict_user_block(self, params, frozen, user_ids, ctx=None):
-        theta_i, vis_bias = self.item_factors(params, frozen)
+        theta_i, vis_bias = (
+            ctx if ctx is not None else self.item_factors(params, frozen)
+        )
         gu = jnp.take(params["Gu"], user_ids, axis=0)
         tu = jnp.take(params["Tu"], user_ids, axis=0)
         return (

@@ -30,26 +30,33 @@ def _merge_topk(run_vals, run_idx, blk_vals, blk_idx, k):
     return new_vals, new_idx
 
 
+OUT_OF_RANGE_ID = 2**30  # filler id no catalog reaches
+
+
 def streaming_topk_and_counts(
     user_vecs: jax.Array,  # [Bu, D]
     item_vecs: jax.Array,  # [I, D]
     item_bias: Optional[jax.Array],  # [I] or None
     k: int,
     ref_scores: Optional[jax.Array] = None,  # [Bu, T] reference scores
-    ref_ids: Optional[jax.Array] = None,  # [Bu, T] ids to EXCLUDE from counts
+    banned_ids: Optional[jax.Array] = None,  # [Bu, Pb] ids EXCLUDED from counts
     item_block: int = 4096,
     item_offset: int = 0,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """One pass over the catalog in blocks.
 
-    Returns (top_vals [Bu,k], top_idx [Bu,k] with +item_offset applied,
-    ge_counts [Bu,T]) where ge_counts[t] = |{i != ref_ids[t] :
-    s_ui >= ref_scores[u,t]}| over this shard's items.
+    Returns (top_vals [Bu,k], top_idx [Bu,k] global ids, ge_counts [Bu,T])
+    where ge_counts[t] = |{i not in banned_ids[u] : s_ui >= ref_scores[u,t]}|
+    over this shard's items — i.e. the AUC position count over the
+    candidate-negative set directly.
 
-    The reference item ITSELF is excluded by id rather than relying on the
-    self-comparison s_t >= s_t: the block matmul and the caller's pointwise
-    dot can disagree in the last ulp, which would shift every position count
-    by one.  Ties against *other* items are genuine ties either way.
+    Exclusions happen BY ID inside the scan, never by comparing externally
+    recomputed scores: the block matmul and a pointwise dot can disagree in
+    the last ulp, which would shift position counts at exact-tie boundaries.
+    Pad banned_ids with a negative value (never matches a catalog id).
+
+    Top-k filler entries (users with fewer than k finite candidates) carry
+    OUT_OF_RANGE_ID so they can never collide with a real item id downstream.
     """
     Bu, D = user_vecs.shape
     I = item_vecs.shape[0]
@@ -69,7 +76,7 @@ def streaming_topk_and_counts(
 
     kb = min(k, blk)
     init_vals = jnp.full((Bu, k), -jnp.inf, user_vecs.dtype)
-    init_idx = jnp.zeros((Bu, k), jnp.int32)
+    init_idx = jnp.full((Bu, k), OUT_OF_RANGE_ID, jnp.int32)
     has_ref = ref_scores is not None
     init_counts = jnp.zeros(ref_scores.shape, jnp.int32) if has_ref else None
 
@@ -80,15 +87,25 @@ def streaming_topk_and_counts(
         scores = jnp.where(valid_b[None, :], scores, -jnp.inf)
         blk_vals, blk_pos = jax.lax.top_k(scores, kb)
         blk_idx = blk_pos.astype(jnp.int32) + (base + item_offset)
+        # filler lanes (-inf from block padding) get the sentinel id
+        blk_idx = jnp.where(
+            jnp.isneginf(blk_vals), OUT_OF_RANGE_ID, blk_idx
+        )
         run_vals, run_idx = _merge_topk(run_vals, run_idx, blk_vals, blk_idx, k)
         if has_ref:
             # global item ids of this block (offset applies under sharding)
             gid = (
                 jnp.arange(blk, dtype=jnp.int32)[None, :] + base + item_offset
             )  # [1, blk]
+            allowed = jnp.logical_not(
+                (gid[:, :, None] == banned_ids[:, None, :]).any(axis=2)
+            )  # [Bu, blk]
             ge = jnp.logical_and(
-                scores[:, :, None] >= ref_scores[:, None, :],
-                gid[:, :, None] != ref_ids[:, None, :],
+                jnp.logical_and(
+                    scores[:, :, None] >= ref_scores[:, None, :],
+                    allowed[:, :, None],
+                ),
+                valid_b[None, :, None],
             ).sum(axis=1, dtype=jnp.int32)
             counts = counts + ge
         return (run_vals, run_idx, counts), None

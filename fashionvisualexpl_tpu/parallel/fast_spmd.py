@@ -56,13 +56,15 @@ def _sharded_sparse_adam(p, m, v, uids, g, lr, t, axis_name=MODEL_AXIS):
     rows = p.shape[0]
     local = uids - shard * rows
     ok = jnp.logical_and(local >= 0, local < rows)
-    safe = jnp.where(ok, local, 0)
+    # non-owned (and pad) ids route OUT OF RANGE: JAX drops out-of-bounds
+    # scatter updates, keeping the applied index set unique — mapping them
+    # to row 0 would put duplicate 0s into a unique_indices scatter (UB)
+    safe = jnp.where(ok, local, rows)
     if g.ndim < m.ndim:
         g = g[..., None] if m.ndim == 2 and g.ndim == 1 else g
     gmask = ok if g.ndim == 1 else ok[:, None]
     gm = jnp.where(gmask, (1.0 - B1) / B1 * g, 0.0)
     gv = jnp.where(gmask, (1.0 - B2) / B2 * jnp.square(g), 0.0)
-    # ids deduped upstream; padded segments have zero grads (+0 into row 0)
     m = m.at[safe].add(gm, unique_indices=True)
     v = v.at[safe].add(gv, unique_indices=True)
     m = m * B1

@@ -51,10 +51,18 @@ def init_fast_state(params: Dict[str, jax.Array]) -> FastState:
     )
 
 
-def compact_row_grads(ids: jax.Array, grads: jax.Array, num_segments: int):
+def compact_row_grads(
+    ids: jax.Array, grads: jax.Array, num_segments: int,
+    pad_id: int = 2**30,
+):
     """Sort + segment-sum duplicate ids -> (unique_ids [S], summed [S, ...]).
 
-    Padded segments carry id 0 with zero gradient (a harmless +0)."""
+    Padded (unused) segments carry `pad_id`, which callers MUST choose
+    out-of-range for the target table (default 2^30): JAX drops
+    out-of-bounds scatter updates, and an out-of-range pad keeps the
+    applied index set genuinely unique — padding with a real id (e.g. 0)
+    would violate scatter's unique_indices contract whenever the batch
+    contains that id, which is undefined behavior."""
     order = jnp.argsort(ids)
     sid = ids[order]
     sg = grads[order]
@@ -63,7 +71,7 @@ def compact_row_grads(ids: jax.Array, grads: jax.Array, num_segments: int):
     )
     seg = jnp.cumsum(new_seg) - 1  # [B] segment index per sorted entry
     summed = jax.ops.segment_sum(sg, seg, num_segments=num_segments)
-    uids = jnp.zeros((num_segments,), ids.dtype).at[seg].set(sid)
+    uids = jnp.full((num_segments,), pad_id, ids.dtype).at[seg].set(sid)
     return uids, summed
 
 

@@ -208,7 +208,10 @@ def fit(
                     jnp.copy, state.params
                 )
         history.append(rec)
-        if ckpt is not None and cfg.verbose != -1 and (
+        # reference cadence (BPRMF.py:158): every `verbose` epochs and epoch
+        # 1; any verbose <= 0 disables (the reference only handles -1 and
+        # would die on `it % 0`)
+        if ckpt is not None and cfg.verbose > 0 and (
             epoch % cfg.verbose == 0 or epoch == 1
         ):
             ckpt.save(epoch, state)

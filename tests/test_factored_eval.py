@@ -82,3 +82,35 @@ def test_distributed_streaming_matches_dense():
         model, data, k=10, user_block=16, item_block=5, mesh=mesh
     ).evaluate(params, frozen)
     _assert_same(dense, distributed)
+
+
+def test_streaming_store_recommendation_matches_dense(tmp_path):
+    data = synthetic_interactions(20, 30, interactions_per_user=7, seed=8)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    params, frozen = model.init(jax.random.PRNGKey(4))
+
+    dense_path = str(tmp_path / "dense.tsv")
+    stream_path = str(tmp_path / "stream.tsv")
+    Evaluator(model, data, k=5, user_block=8).store_recommendation(
+        params, frozen, dense_path
+    )
+    FactoredEvaluator(
+        model, data, k=5, user_block=8, item_block=7
+    ).store_recommendation(params, frozen, stream_path)
+
+    def parse(path):
+        out = {}
+        for line in open(path):
+            u, i, s = line.split("\t")
+            out.setdefault(int(u), []).append((int(i), float(s)))
+        return out
+
+    dense, stream = parse(dense_path), parse(stream_path)
+    assert dense.keys() == stream.keys()
+    for u in dense:
+        d_ids = [i for i, _ in dense[u]]
+        s_ids = [i for i, _ in stream[u]]
+        assert d_ids == s_ids, (u, d_ids, s_ids)
+        np.testing.assert_allclose(
+            [s for _, s in dense[u]], [s for _, s in stream[u]], rtol=1e-5
+        )

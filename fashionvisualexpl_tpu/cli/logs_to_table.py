@@ -24,13 +24,20 @@ from fashionvisualexpl_tpu.core.config import Paths
 
 
 def parse_run_tag(filename: str):
-    """log-batch_256-K_128-lr_0.001-reg_0.0.jsonl -> hyperparameter dict."""
+    """log-batch_256-K_128-lr_0.001-reg_0.0.jsonl -> hyperparameter dict.
+
+    Parts without '_' re-join the previous value with '-', so scientific
+    notation survives (reg_1e-05 -> reg='1e-05', not '1e')."""
     tag = os.path.basename(filename)[len("log-"):-len(".jsonl")]
     out = {}
+    last_key = None
     for part in tag.split("-"):
         if "_" in part:
             k, v = part.split("_", 1)
             out[k] = v
+            last_key = k
+        elif last_key is not None:
+            out[last_key] += "-" + part
     return out
 
 

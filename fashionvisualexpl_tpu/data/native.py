@@ -69,7 +69,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.fvx_max_pos_count.restype = ctypes.c_int32
         lib.fvx_max_pos_count.argtypes = [i32p, i32p, ctypes.c_long,
                                           ctypes.c_int32]
-        lib.fvx_pad_positives.restype = None
+        lib.fvx_pad_positives.restype = ctypes.c_int32
         lib.fvx_pad_positives.argtypes = [
             i32p, i32p, ctypes.c_long, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, i32p, i32p,
@@ -115,8 +115,13 @@ def pad_sorted_positives_native(
         )
     padded = np.empty((num_users, width), np.int32)
     counts = np.empty(num_users, np.int32)
-    lib.fvx_pad_positives(
+    rc = lib.fvx_pad_positives(
         users, items, len(users), num_users, num_items, width,
         padded.reshape(-1), counts,
     )
+    if rc != 0:
+        raise ValueError(
+            f"width {width} < max positives (matching the Python "
+            "implementation's error; truncation would corrupt sampling)"
+        )
     return padded, counts

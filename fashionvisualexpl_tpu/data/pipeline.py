@@ -88,6 +88,9 @@ class HostPrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            # keep the iterator permanently exhausted: a later __next__ must
+            # re-raise instead of blocking on the empty queue forever
+            self._q.put(self._done)
             if self._error is not None:
                 # surface worker failures instead of silently truncating
                 # the epoch

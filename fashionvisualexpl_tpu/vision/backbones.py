@@ -24,9 +24,15 @@ RESNET50_BLOCKS = (3, 4, 6, 3)
 RESNET152_BLOCKS = (3, 8, 36, 3)
 
 
-def _conv(x, W, stride=1):
+def _conv(x, W, stride=1, pad=None):
+    """pad=None -> symmetric torch-style padding (kernel//2), which matches
+    XLA 'SAME' at stride 1 but NOT at stride 2 (SAME pads asymmetrically) —
+    imported torchvision weights need the symmetric layout."""
+    if pad is None:
+        pad = W.shape[0] // 2
     return jax.lax.conv_general_dilated(
-        x, W, window_strides=(stride, stride), padding="SAME",
+        x, W, window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
@@ -88,38 +94,22 @@ class ResNet:
         return p
 
     def apply(self, params, x, train=False, with_head=False):
-        y = _conv(x, params["stem_W"], stride=2)
-        y = jax.nn.relu(_bn(y, params["stem_bn"], train))
-        y = jax.lax.reduce_window(
-            y, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
-            padding="SAME",
-        )
-        for s, n_blocks in enumerate(self.blocks):
-            for b in range(n_blocks):
-                blk = params[f"s{s}b{b}"]
-                stride = 2 if (b == 0 and s > 0) else 1
-                h = jax.nn.relu(_bn(_conv(y, blk["W1"]), blk["bn1"], train))
-                h = jax.nn.relu(
-                    _bn(_conv(h, blk["W2"], stride=stride), blk["bn2"], train)
-                )
-                h = _bn(_conv(h, blk["W3"]), blk["bn3"], train)
-                if "Wd" in blk:
-                    y = _bn(_conv(y, blk["Wd"], stride=stride), blk["bnd"], train)
-                y = jax.nn.relu(y + h)
+        y = self._trunk(params, x, train)
         pooled = jnp.mean(y, axis=(1, 2))  # [B, 2048] — 'avg_pool'
         if with_head:
             return pooled @ params["fc_W"] + params["fc_b"]
         return pooled
 
-    def spatial_features(self, params, x, train=False):
-        """Final-stage spatial map [B, H', W', 2048] (ACF's per-item maps)."""
-        y = _conv(x, params["stem_W"], stride=2)
+    def _trunk(self, params, x, train=False):
+        """Shared conv trunk (torch-parity symmetric padding throughout)."""
+        y = _conv(x, params["stem_W"], stride=2, pad=3)
         y = jax.nn.relu(_bn(y, params["stem_bn"], train))
+        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
         y = jax.lax.reduce_window(
             y, -jnp.inf, jax.lax.max,
             window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
-            padding="SAME",
+            padding="VALID",
         )
         for s, n_blocks in enumerate(self.blocks):
             for b in range(n_blocks):
@@ -134,6 +124,10 @@ class ResNet:
                     y = _bn(_conv(y, blk["Wd"], stride=stride), blk["bnd"], train)
                 y = jax.nn.relu(y + h)
         return y
+
+    def spatial_features(self, params, x, train=False):
+        """Final-stage spatial map [B, H', W', 2048] (ACF's per-item maps)."""
+        return self._trunk(params, x, train)
 
 
 VGG19_CFG = (

@@ -13,9 +13,13 @@ import numpy as np
 class ImageFolderDataset:
     def __init__(self, directory: str, resize: Optional[Tuple[int, int]] = None):
         self.directory = directory
-        self.filenames = sorted(
-            os.listdir(directory), key=lambda x: int(x.split(".")[0])
-        )
+        # only integer-stem image files: stray entries (.DS_Store, partial
+        # downloads) would crash the int sort and the whole extraction run
+        names = [
+            f for f in os.listdir(directory)
+            if f.split(".")[0].lstrip("-").isdigit()
+        ]
+        self.filenames = sorted(names, key=lambda x: int(x.split(".")[0]))
         self.resize = resize
 
     def __len__(self) -> int:

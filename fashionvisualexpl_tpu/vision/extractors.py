@@ -130,6 +130,10 @@ class LowFeatureExtractor:
         contours, _ = cv2.findContours(
             edges, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE
         )
+        if not contours:
+            # blank/uniform image: treat the whole frame as foreground
+            # (the reference crashes here — sorted([])[0])
+            return np.zeros_like(image_bgr)
         info = [(c, cv2.isContourConvex(c), cv2.contourArea(c)) for c in contours]
         max_contour = sorted(info, key=lambda t: t[2], reverse=True)[0]
         mask = np.copy(image_bgr)

@@ -94,18 +94,21 @@ std::vector<std::pair<size_t, size_t>> chunks_of(const MappedFile& m,
   return out;
 }
 
+inline bool is_data_line(const char* p, const char* line_end) {
+  // skip CR / leading spaces; a data row starts with a digit or '-'
+  while (p < line_end && (*p == '\r' || *p == ' ' || *p == '\t')) ++p;
+  return p < line_end && ((*p >= '0' && *p <= '9') || *p == '-');
+}
+
 size_t count_lines_range(const char* data, size_t start, size_t end) {
   size_t n = 0;
   const char* p = data + start;
   const char* e = data + end;
   while (p < e) {
     const char* nl = static_cast<const char*>(memchr(p, '\n', e - p));
-    if (!nl) {
-      // final line without trailing newline
-      if (e - p > 0) ++n;
-      break;
-    }
-    if (nl != p) ++n;  // skip empty lines
+    const char* line_end = nl ? nl : e;
+    if (is_data_line(p, line_end)) ++n;
+    if (!nl) break;
     p = nl + 1;
   }
   return n;
@@ -176,15 +179,17 @@ long fvx_parse_interactions(const char* path, int32_t* users, int32_t* items,
       const char* e = m.data + ch[i].second;
       size_t row = offsets[i];
       while (p < e) {
-        // skip empty lines
-        if (*p == '\n') {
-          ++p;
-          continue;
-        }
         const char* line_end =
             static_cast<const char*>(memchr(p, '\n', e - p));
         if (!line_end) line_end = e;
+        // non-data lines (headers, blanks, CR-only) are skipped — matching
+        // the counting pass and the Python fallback's strip()/int() behavior
+        if (!is_data_line(p, line_end)) {
+          p = line_end + 1;
+          continue;
+        }
         const char* q = p;
+        while (q < line_end && (*q == '\r' || *q == ' ' || *q == '\t')) ++q;
         int64_t u = parse_int(q, line_end);
         skip_to(q, line_end, '\t');
         int64_t it = parse_int(q, line_end);
@@ -230,15 +235,19 @@ int32_t fvx_max_pos_count(const int32_t* users, const int32_t* items, long n,
 // (semantics of data/interactions.py::pad_sorted_positives): row u holds
 // u's unique sorted positives, padded with num_items + slot so the row is
 // strictly increasing.  padded is [num_users * width], counts [num_users].
-void fvx_pad_positives(const int32_t* users, const int32_t* items, long n,
-                       int32_t num_users, int32_t num_items, int32_t width,
-                       int32_t* padded, int32_t* counts) {
+// Returns 0 on success, -1 if any user has more than `width` unique
+// positives (the Python implementation raises; silent truncation would let
+// the sampler emit actual positives as "negatives").
+int32_t fvx_pad_positives(const int32_t* users, const int32_t* items, long n,
+                          int32_t num_users, int32_t num_items, int32_t width,
+                          int32_t* padded, int32_t* counts) {
   std::vector<std::vector<int32_t>> per_user(num_users);
   for (long i = 0; i < n; ++i) {
     if (users[i] >= 0 && users[i] < num_users) per_user[users[i]].push_back(items[i]);
   }
   int nt = hw_threads();
   std::vector<std::thread> threads;
+  std::atomic<bool> overflow{false};
   int32_t per = (num_users + nt - 1) / nt;
   for (int t = 0; t < nt; ++t) {
     threads.emplace_back([&, t] {
@@ -248,6 +257,7 @@ void fvx_pad_positives(const int32_t* users, const int32_t* items, long n,
         auto& v = per_user[u];
         std::sort(v.begin(), v.end());
         v.erase(std::unique(v.begin(), v.end()), v.end());
+        if (static_cast<int32_t>(v.size()) > width) overflow = true;
         int32_t c = std::min<int32_t>(static_cast<int32_t>(v.size()), width);
         counts[u] = c;
         int32_t* row = padded + static_cast<size_t>(u) * width;
@@ -257,6 +267,7 @@ void fvx_pad_positives(const int32_t* users, const int32_t* items, long n,
     });
   }
   for (auto& t : threads) t.join();
+  return overflow ? -1 : 0;
 }
 
 }  // extern "C"

@@ -35,6 +35,7 @@ def __getattr__(name):
         "GradFashion": "fashionvisualexpl_tpu.models.grad_fashion",
         "AttentiveFashion": "fashionvisualexpl_tpu.models.attentive_fashion",
         "ACF": "fashionvisualexpl_tpu.models.acf",
+        "CompVBPR": "fashionvisualexpl_tpu.models.comp_vbpr",
         "Trainer": "fashionvisualexpl_tpu.train.trainer",
         "fit": "fashionvisualexpl_tpu.train.trainer",
         "Evaluator": "fashionvisualexpl_tpu.eval.evaluator",

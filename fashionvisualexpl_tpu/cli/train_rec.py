@@ -42,12 +42,23 @@ def parse_args(argv=None):
     p.add_argument("--layers_item", nargs="+", type=int, default=[64, 1])
     p.add_argument("--attention_layers", nargs="+", type=int, default=[64, 1])
     p.add_argument("--cnn_model", nargs="?", default="vgg19")
+    p.add_argument("--edge_hw", nargs=2, type=int, default=[224, 224],
+                   help="edge-image size fed to the trainable towers "
+                        "(attentive_fashion / comp_vbpr); the reference "
+                        "hardcodes 224x224 (dataset.py:199)")
     p.add_argument("--output_layer", nargs="?", default="fc2")
     p.add_argument("--embed_k", type=int, default=128)
     p.add_argument("--embed_d", type=int, default=20)
     p.add_argument("--embed_color", type=int, default=32)
     p.add_argument("--embed_edges", type=int, default=32)
     p.add_argument("--reg", type=float, default=0.0)
+    p.add_argument("--activated_components", nargs="+", type=int,
+                   default=[1, 1, 1, 1],
+                   help="comp_vbpr family toggles: semantic color edges "
+                        "texture (reference CompVBPR.py:33)")
+    p.add_argument("--weight_components", nargs="+", type=float,
+                   default=[0.25, 0.25, 0.25, 0.25],
+                   help="comp_vbpr family mix weights (CompVBPR.py:34)")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--seed", type=int, default=0)
@@ -92,11 +103,39 @@ def build_model(args, data, cfg):
 
         color = F.load_color_histograms(paths, ds)
         cls = F.load_class_onehot(paths, ds)
-        edges = load_edge_image_stack(paths.edges_dir(ds), data.num_items)
+        edges = load_edge_image_stack(
+            paths.edges_dir(ds), data.num_items, hw=tuple(args.edge_hw)
+        )
         return AttentiveFashion(
             data.num_users, data.num_items, color, edges, cls,
             embed_k=args.embed_k,
             attention_layers=tuple(args.attention_layers),
+        )
+    if args.rec == "comp_vbpr":
+        from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
+        from fashionvisualexpl_tpu.models.comp_vbpr import CompVBPR
+
+        act = tuple(bool(a) for a in args.activated_components)
+        sem = (
+            F.load_cnn_features(paths, ds, args.cnn_model, args.output_layer)
+            if act[0] else None
+        )
+        color = F.load_color_histograms(paths, ds) if act[1] else None
+        edges = (
+            load_edge_image_stack(
+                paths.edges_dir(ds), data.num_items, hw=tuple(args.edge_hw)
+            )
+            if act[2] else None
+        )
+        tex = (
+            F.load_texture_features(paths, ds, args.cnn_model)
+            if act[3] else None
+        )
+        return CompVBPR(
+            data.num_users, data.num_items, sem, color, edges, tex,
+            embed_k=args.embed_k, embed_d=args.embed_d,
+            activated_components=act,
+            weight_components=tuple(args.weight_components),
         )
     if args.rec == "acf":
         from fashionvisualexpl_tpu.data.pipeline import load_spatial_feature_stack

@@ -86,6 +86,13 @@ class Paths:
     def color_features(self, dataset: str) -> str:
         return os.path.join(self.original(dataset), "color_features.npy")
 
+    def texture_features(self, dataset: str, cnn_model: str) -> str:
+        """Gram-matrix texture features (reference configs.py:21, consumed
+        via OLD_visual_loader_mixin.py:35-42 by CompVBPR)."""
+        return os.path.join(
+            self.original(dataset), f"texture_features_{cnn_model}.npy"
+        )
+
     def features_dir(self, dataset: str) -> str:
         return os.path.join(self.original(dataset), "features")
 

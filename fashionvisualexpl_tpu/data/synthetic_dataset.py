@@ -67,6 +67,11 @@ def write_reference_layout(
         paths.edge_features(dataset, cnn_model, output_layer),
         np.abs(rng.normal(size=(I, cnn_dim // 2))).astype(np.float32),
     )
+    # Gram-matrix texture features (CompVBPR path, OLD mixin:35-42)
+    np.save(
+        paths.texture_features(dataset, cnn_model),
+        np.abs(rng.normal(size=(I, cnn_dim // 4))).astype(np.float32),
+    )
 
     fdir = paths.features_dir(dataset)
     os.makedirs(fdir, exist_ok=True)

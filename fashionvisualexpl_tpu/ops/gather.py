@@ -56,7 +56,7 @@ def gather_rows(table: jax.Array, ids: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Bp // rows_per_step,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table in HBM
         out_specs=pl.BlockSpec(
             (rows_per_step, K), lambda i, ids_ref: (i, 0),
             memory_space=pltpu.VMEM,

@@ -97,9 +97,12 @@ def streaming_topk_and_counts(
             gid = (
                 jnp.arange(blk, dtype=jnp.int32)[None, :] + base + item_offset
             )  # [1, blk]
-            allowed = jnp.logical_not(
-                (gid[:, :, None] == banned_ids[:, None, :]).any(axis=2)
-            )  # [Bu, blk]
+            if banned_ids is not None:
+                allowed = jnp.logical_not(
+                    (gid[:, :, None] == banned_ids[:, None, :]).any(axis=2)
+                )  # [Bu, blk]
+            else:  # no exclusions: every catalog item counts
+                allowed = jnp.ones_like(scores, dtype=bool)
             ge = jnp.logical_and(
                 jnp.logical_and(
                     scores[:, :, None] >= ref_scores[:, None, :],

@@ -51,6 +51,25 @@ def init_fast_state(params: Dict[str, jax.Array]) -> FastState:
     )
 
 
+class LazyFastState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    params: Dict[str, jax.Array]
+    mu: Dict[str, jax.Array]
+    nu: Dict[str, jax.Array]
+    tau: Dict[str, jax.Array]  # per ROW-table: [rows] int32 last-touch step
+
+
+def init_lazy_state(
+    params: Dict[str, jax.Array], row_tables: Tuple[str, ...]
+) -> LazyFastState:
+    base = init_fast_state(params)
+    tau = {
+        k: jnp.zeros((params[k].shape[0],), jnp.int32)
+        for k in row_tables if k in params
+    }
+    return LazyFastState(base.step, base.params, base.mu, base.nu, tau)
+
+
 def compact_row_grads(
     ids: jax.Array, grads: jax.Array, num_segments: int,
     pad_id: int = 2**30,
@@ -102,6 +121,47 @@ def sparse_adam_table(
     return p, m, v
 
 
+def lazy_adam_table(
+    p: jax.Array, m: jax.Array, v: jax.Array, tau: jax.Array,
+    uids: jax.Array, g: jax.Array,  # compact: [S] ids, [S, ...] grads
+    lr: float, t: jax.Array,
+):
+    """One LAZY Adam step: only the touched rows are read or written.
+
+    The sparse/dense paths above decay the moments and re-apply the
+    parameter update over the ENTIRE table every step (TF-Adam dense
+    semantics — 6 full HBM passes, the measured 5.6ms/step floor at the
+    1M x 500k config, SPEED.md).  This variant implements LazyAdam
+    semantics (tf.contrib LazyAdamOptimizer): per-row last-touch
+    timestamps `tau`; on touch, the deferred geometric decay is applied in
+    one catch-up (b^(t - tau) — exactly what step-by-step decay would have
+    compounded to), then the standard Adam update runs on those rows.
+    Untouched rows keep their parameters (the deliberate semantic
+    difference from dense Adam, whose bias-corrected update keeps nudging
+    stale rows); moment decay is EXACT relative to the dense path.
+
+    Padded segment ids (out-of-range, see compact_row_grads) gather
+    clamped garbage rows and are dropped on the scatter back — harmless
+    and branch-free."""
+    if g.ndim < m.ndim:
+        g = g[..., None] if m.ndim == 2 and g.ndim == 1 else g
+    dt = (t - tau[uids].astype(jnp.float32))
+    if m.ndim > 1:
+        dt_b = dt[:, None]
+    else:
+        dt_b = dt
+    m_rows = m[uids] * jnp.power(B1, dt_b) + (1.0 - B1) * g
+    v_rows = v[uids] * jnp.power(B2, dt_b) + (1.0 - B2) * jnp.square(g)
+    m_hat = m_rows / (1.0 - B1 ** t)
+    v_hat = v_rows / (1.0 - B2 ** t)
+    p_rows = p[uids] - lr * m_hat / (jnp.sqrt(v_hat) + EPS)
+    p = p.at[uids].set(p_rows, unique_indices=True)
+    m = m.at[uids].set(m_rows, unique_indices=True)
+    v = v.at[uids].set(v_rows, unique_indices=True)
+    tau = tau.at[uids].set(t.astype(tau.dtype), unique_indices=True)
+    return p, m, v, tau
+
+
 def dense_adam(p, m, v, g, lr, t):
     m = B1 * m + (1.0 - B1) * g
     v = B2 * v + (1.0 - B2) * jnp.square(g)
@@ -113,12 +173,15 @@ def dense_adam(p, m, v, g, lr, t):
 def make_fast_bprmf_step(model, lr: float, reg: float,
                          fused_adam: bool = False,
                          pallas_bpr: bool = False,
+                         lazy: bool = False,
                          bpr_tile: int = 512) -> Callable:
     """Fast train step for BPRMF (reference loss semantics,
     BPRMF.py:95-112).  fused_adam=True routes the full-table sweep through
     the one-pass Pallas kernel (ops/adam.py); pallas_bpr=True computes the
     pairwise loss + analytic row gradients through the fused Pallas BPR
-    kernel (ops/bpr.py) instead of autodiff over the jnp chain."""
+    kernel (ops/bpr.py) instead of autodiff over the jnp chain; lazy=True
+    switches the optimizer to LazyAdam semantics (lazy_adam_table — no
+    full-table sweeps; state is a LazyFastState)."""
     from fashionvisualexpl_tpu.models.base import bpr_pairwise_loss, l2_loss
 
     if fused_adam:
@@ -176,20 +239,29 @@ def make_fast_bprmf_step(model, lr: float, reg: float,
         B = u.shape[0]
 
         new_p, new_m, new_v = dict(P), dict(state.mu), dict(state.nu)
+        new_tau = dict(state.tau) if lazy else None
 
-        uids, g = compact_row_grads(u, dgu, B)
-        new_p["Gu"], new_m["Gu"], new_v["Gu"] = apply_table(
-            P["Gu"], state.mu["Gu"], state.nu["Gu"], uids, g, lr, t
-        )
         ii = jnp.concatenate([p_ids, n_ids])
-        uids, g = compact_row_grads(ii, jnp.concatenate([dgp, dgn]), 2 * B)
-        new_p["Gi"], new_m["Gi"], new_v["Gi"] = apply_table(
-            P["Gi"], state.mu["Gi"], state.nu["Gi"], uids, g, lr, t
-        )
-        uids, g = compact_row_grads(ii, jnp.concatenate([dbp, dbn]), 2 * B)
-        new_p["Bi"], new_m["Bi"], new_v["Bi"] = apply_table(
-            P["Bi"], state.mu["Bi"], state.nu["Bi"], uids, g, lr, t
-        )
+        for name, ids, g, ns in (
+            ("Gu", u, dgu, B),
+            ("Gi", ii, jnp.concatenate([dgp, dgn]), 2 * B),
+            ("Bi", ii, jnp.concatenate([dbp, dbn]), 2 * B),
+        ):
+            uids, cg = compact_row_grads(ids, g, ns)
+            if lazy:
+                (new_p[name], new_m[name], new_v[name],
+                 new_tau[name]) = lazy_adam_table(
+                    P[name], state.mu[name], state.nu[name],
+                    state.tau[name], uids, cg, lr, t,
+                )
+            else:
+                new_p[name], new_m[name], new_v[name] = apply_table(
+                    P[name], state.mu[name], state.nu[name], uids, cg, lr, t
+                )
+        if lazy:
+            return LazyFastState(
+                state.step + 1, new_p, new_m, new_v, new_tau
+            ), loss
         return FastState(state.step + 1, new_p, new_m, new_v), loss
 
     return step
@@ -199,9 +271,10 @@ def make_fast_epoch_fn(model, lr: float, reg: float, num_items: int,
                        steps: int, batch: int,
                        fused_adam: bool = False,
                        with_replacement: bool = False,
-                       pallas_bpr: bool = False) -> Callable:
+                       pallas_bpr: bool = False,
+                       lazy: bool = False) -> Callable:
     step_fn = make_fast_bprmf_step(model, lr, reg, fused_adam=fused_adam,
-                                   pallas_bpr=pallas_bpr)
+                                   pallas_bpr=pallas_bpr, lazy=lazy)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: FastState, key, train_pairs, padded_pos, pos_counts):
@@ -215,10 +288,12 @@ def make_fast_epoch_fn(model, lr: float, reg: float, num_items: int,
     return epoch
 
 
-def make_fast_vbpr_step(model, lr: float, reg: float) -> Callable:
+def make_fast_vbpr_step(model, lr: float, reg: float,
+                        lazy: bool = False) -> Callable:
     """Fast train step for VBPR (reference loss semantics, VBPR.py:99-143):
-    row tables (Gu, Gi, Bi, Tu) get the sparse-apply path; the small dense
-    E/Bp matrices get ordinary dense Adam."""
+    row tables (Gu, Gi, Bi, Tu) get the sparse-apply path (LazyAdam when
+    lazy=True — state must then be a LazyFastState); the small dense E/Bp
+    matrices get ordinary dense Adam either way."""
     from fashionvisualexpl_tpu.models.base import bpr_pairwise_loss, l2_loss
 
     def step(state: FastState, batch):
@@ -259,6 +334,7 @@ def make_fast_vbpr_step(model, lr: float, reg: float) -> Callable:
         B = u.shape[0]
 
         new_p, new_m, new_v = dict(P), dict(state.mu), dict(state.nu)
+        new_tau = dict(state.tau) if lazy else None
         for name, ids, g, ns in (
             ("Gu", u, dgu, B),
             ("Tu", u, dtu, B),
@@ -268,13 +344,24 @@ def make_fast_vbpr_step(model, lr: float, reg: float) -> Callable:
              jnp.concatenate([dbp, dbn]), 2 * B),
         ):
             uids, cg = compact_row_grads(ids, g, ns)
-            new_p[name], new_m[name], new_v[name] = sparse_adam_table(
-                P[name], state.mu[name], state.nu[name], uids, cg, lr, t
-            )
+            if lazy:
+                (new_p[name], new_m[name], new_v[name],
+                 new_tau[name]) = lazy_adam_table(
+                    P[name], state.mu[name], state.nu[name],
+                    state.tau[name], uids, cg, lr, t,
+                )
+            else:
+                new_p[name], new_m[name], new_v[name] = sparse_adam_table(
+                    P[name], state.mu[name], state.nu[name], uids, cg, lr, t
+                )
         for name, g in (("E", dE), ("Bp", dBp)):
             new_p[name], new_m[name], new_v[name] = dense_adam(
                 P[name], state.mu[name], state.nu[name], g, lr, t
             )
+        if lazy:
+            return LazyFastState(
+                state.step + 1, new_p, new_m, new_v, new_tau
+            ), loss
         return FastState(state.step + 1, new_p, new_m, new_v), loss
 
     return step
@@ -282,8 +369,8 @@ def make_fast_vbpr_step(model, lr: float, reg: float) -> Callable:
 
 def make_fast_vbpr_epoch_fn(model, frozen, lr: float, reg: float,
                             num_items: int, steps: int,
-                            batch: int) -> Callable:
-    step_fn = make_fast_vbpr_step(model, lr, reg)
+                            batch: int, lazy: bool = False) -> Callable:
+    step_fn = make_fast_vbpr_step(model, lr, reg, lazy=lazy)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: FastState, frozen_F, key,

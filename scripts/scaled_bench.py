@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--bootstrap", action="store_true",
                     help="with-replacement sampling (original-BPR scheme; "
                          "skips the per-epoch permutation)")
+    ap.add_argument("--lazy", action="store_true",
+                    help="LazyAdam semantics: touched-rows-only optimizer "
+                         "(no full-table moment/param sweeps); implies --fast")
     ap.add_argument("--eval_users", type=int, default=4096)
     args = ap.parse_args()
 
@@ -72,15 +75,18 @@ def main():
 
     steps, batch = args.steps, args.batch
 
-    if args.fast:
+    if args.fast or args.lazy:
         from fashionvisualexpl_tpu.train.fast import (
-            init_fast_state, make_fast_epoch_fn,
+            init_fast_state, init_lazy_state, make_fast_epoch_fn,
         )
 
-        state = init_fast_state(params)
+        state = (
+            init_lazy_state(params, ("Gu", "Gi", "Bi"))
+            if args.lazy else init_fast_state(params)
+        )
         epoch_fn = make_fast_epoch_fn(
             model, 0.001, 0.001, args.items, steps, batch,
-            with_replacement=args.bootstrap,
+            with_replacement=args.bootstrap, lazy=args.lazy,
         )
 
         def run(state, key):
@@ -124,14 +130,12 @@ def main():
     # block of users
     Bu = args.eval_users
     uf = state.params["Gu"][:Bu]
-    ref_ids = jnp.zeros((Bu, 1), jnp.int32)
     ref_scores = jnp.zeros((Bu, 1), jnp.float32)
 
     @jax.jit
     def eval_block(uf, gi, bi):
         return streaming_topk_and_counts(
-            uf, gi, bi, 84, ref_scores=ref_scores, ref_ids=ref_ids,
-            item_block=32768,
+            uf, gi, bi, 84, ref_scores=ref_scores, item_block=32768,
         )
 
     out = eval_block(uf, state.params["Gi"], state.params["Bi"])

@@ -31,7 +31,7 @@ def _run(root, rec, extra=()):
         "--epochs", "2", "--batch_size", "16", "--top_k", "5",
         "--embed_k", "8", "--embed_d", "4",
         "--embed_color", "4", "--embed_edges", "4",
-        "--attention_layers", "4", "1",
+        "--attention_layers", "4", "1", "--edge_hw", "16", "16",
         "--layers_component", "4", "1", "--layers_item", "4", "1",
         "--eval_user_block", "8",
         *extra,
@@ -73,3 +73,23 @@ def test_cli_reg_sweep(dataset_dir):
     # one results pickle per reg value
     assert len(glob.glob(os.path.join(rdir, "results-metrics-*reg_0.0*"))) >= 1
     assert len(glob.glob(os.path.join(rdir, "results-metrics-*reg_0.01*"))) >= 1
+
+
+def test_cli_comp_vbpr(dataset_dir):
+    rdir = _run(
+        dataset_dir, "comp_vbpr",
+        extra=("--activated_components", "1", "1", "1", "1",
+               "--weight_components", "0.4", "0.2", "0.2", "0.2"),
+    )
+    recs = glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+    assert recs, os.listdir(rdir)
+    assert len(open(recs[0]).read().strip().split("\n")) == 20 * 5
+
+
+def test_cli_comp_vbpr_ablated(dataset_dir):
+    """Edges (the CNN tower) off — exercises partial activation end-to-end."""
+    rdir = _run(
+        dataset_dir, "comp_vbpr",
+        extra=("--activated_components", "1", "0", "0", "1"),
+    )
+    assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))

@@ -157,3 +157,115 @@ def test_pallas_bpr_fast_step_matches_plain():
             np.asarray(kern.params[k]), np.asarray(plain.params[k]),
             rtol=3e-4, atol=1e-6, err_msg=k,
         )
+
+
+def test_lazy_adam_matches_sparse_when_all_rows_touched():
+    """With every row touched every step (dt == 1 always), LazyAdam is
+    EXACTLY the dense-semantics sparse path — params, moments, loss."""
+    U, I, K = 4, 6, 3
+    model = BPRMF(U, I, embed_k=K)
+    lr, reg = 0.02, 0.01
+    params, _ = model.init(jax.random.PRNGKey(1))
+    from fashionvisualexpl_tpu.train.fast import init_lazy_state
+
+    fast_state = init_fast_state(params)
+    lazy_state = init_lazy_state(params, ("Gu", "Gi", "Bi"))
+    fast_step = jax.jit(make_fast_bprmf_step(model, lr, reg))
+    lazy_step = jax.jit(make_fast_bprmf_step(model, lr, reg, lazy=True))
+
+    # batch covers all users; pos+neg together cover all items
+    u = jnp.asarray([0, 1, 2, 3, 0, 1], jnp.int32)
+    p = jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32)
+    n = jnp.asarray([5, 4, 3, 2, 1, 0], jnp.int32)
+    for _ in range(5):
+        fast_state, fl = fast_step(fast_state, (u, p, n))
+        lazy_state, ll = lazy_step(lazy_state, (u, p, n))
+        np.testing.assert_allclose(float(ll), float(fl), rtol=1e-6)
+    for k in ("Bi", "Gu", "Gi"):
+        np.testing.assert_allclose(
+            np.asarray(lazy_state.params[k]),
+            np.asarray(fast_state.params[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lazy_state.mu[k]), np.asarray(fast_state.mu[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+
+
+def test_lazy_adam_catchup_decay_and_untouched_rows():
+    """Rows untouched for a gap get one catch-up decay b^dt on touch; rows
+    never touched keep their parameters bit-exactly (LazyAdam semantics)."""
+    from fashionvisualexpl_tpu.train.fast import (
+        init_lazy_state, make_fast_bprmf_step,
+    )
+
+    U, I, K = 5, 8, 2
+    model = BPRMF(U, I, embed_k=K)
+    lr, reg = 0.1, 0.0
+    params, _ = model.init(jax.random.PRNGKey(2))
+    p0 = {k: np.asarray(v).copy() for k, v in params.items()}
+    state = init_lazy_state(params, ("Gu", "Gi", "Bi"))
+    step = jax.jit(make_fast_bprmf_step(model, lr, reg, lazy=True))
+
+    # step 1 touches user 0 (items 0/1); steps 2,3 touch user 1 (items 2/3)
+    batches = [
+        ([0], [0], [1]),
+        ([1], [2], [3]),
+        ([1], [2], [3]),
+        ([0], [0], [1]),  # step 4: user 0 returns after a 3-step gap
+    ]
+    mu_after_1 = None
+    for i, (u, p, n) in enumerate(batches):
+        b = tuple(jnp.asarray(x, jnp.int32) for x in (u, p, n))
+        prev_mu0 = np.asarray(state.mu["Gu"][0]).copy()
+        prev_tau0 = int(state.tau["Gu"][0])
+        state, _ = step(state, b)
+        if i == 3:
+            # catch-up decay: m_4 = b1^(4-1) * m_1 + (1-b1) g_4
+            t_now = 4
+            dt = t_now - prev_tau0
+            assert dt == 3
+            g_part = np.asarray(state.mu["Gu"][0]) - prev_mu0 * 0.9 ** dt
+            # the grad contribution must be (1-b1)*g, i.e. finite & nonzero
+            assert np.all(np.isfinite(g_part)) and np.any(g_part != 0)
+    # users 2..4 were never touched: params identical to init
+    np.testing.assert_array_equal(np.asarray(state.params["Gu"][2:]),
+                                  p0["Gu"][2:])
+    # their tau never advanced
+    assert np.all(np.asarray(state.tau["Gu"][2:]) == 0)
+
+
+def test_lazy_vbpr_step_runs_and_matches_when_all_touched():
+    from fashionvisualexpl_tpu.data.features import synthetic_features
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+    from fashionvisualexpl_tpu.train.fast import (
+        init_lazy_state, make_fast_vbpr_step,
+    )
+
+    U, I, K, D, Fd = 4, 6, 3, 2, 5
+    feats = synthetic_features(I, Fd, seed=0)
+    model = VBPR(U, I, feats, embed_k=K, embed_d=D)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    lr, reg = 0.02, 0.01
+
+    from fashionvisualexpl_tpu.train.fast import make_fast_vbpr_step as mk
+    fast_state = init_fast_state(params)
+    lazy_state = init_lazy_state(params, ("Gu", "Gi", "Bi", "Tu"))
+    fast_step = jax.jit(mk(model, lr, reg))
+    lazy_step = jax.jit(mk(model, lr, reg, lazy=True))
+
+    F = frozen["F"]
+    u = jnp.asarray([0, 1, 2, 3, 0, 1], jnp.int32)
+    p = jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32)
+    n = jnp.asarray([5, 4, 3, 2, 1, 0], jnp.int32)
+    for _ in range(4):
+        fast_state, fl = fast_step(fast_state, (F, (u, p, n)))
+        lazy_state, ll = lazy_step(lazy_state, (F, (u, p, n)))
+        np.testing.assert_allclose(float(ll), float(fl), rtol=1e-6)
+    for k in ("Bi", "Gu", "Gi", "Tu", "E", "Bp"):
+        np.testing.assert_allclose(
+            np.asarray(lazy_state.params[k]),
+            np.asarray(fast_state.params[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )

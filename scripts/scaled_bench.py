@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--lazy", action="store_true",
                     help="LazyAdam semantics: touched-rows-only optimizer "
                          "(no full-table moment/param sweeps); implies --fast")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed-state path (train/packed.py): p/m/v/bias in "
+                         "one row per id, LazyAdam semantics — the fastest "
+                         "single-chip path at this scale")
     ap.add_argument("--eval_users", type=int, default=4096)
     args = ap.parse_args()
 
@@ -75,7 +79,20 @@ def main():
 
     steps, batch = args.steps, args.batch
 
-    if args.fast or args.lazy:
+    if args.packed:
+        from fashionvisualexpl_tpu.train.packed import (
+            make_packed_epoch_fn, pack_bprmf_state, unpack_bprmf_params,
+        )
+
+        state = pack_bprmf_state(params)
+        epoch_fn = make_packed_epoch_fn(
+            model, 0.001, 0.001, args.items, steps, batch,
+            with_replacement=args.bootstrap,
+        )
+
+        def run(state, key):
+            return epoch_fn(state, key, pairs_d, pos_d, cnt_d)
+    elif args.fast or args.lazy:
         from fashionvisualexpl_tpu.train.fast import (
             init_fast_state, init_lazy_state, make_fast_epoch_fn,
         )
@@ -129,6 +146,10 @@ def main():
     # streaming eval throughput: top-k + counts over the full catalog for a
     # block of users
     Bu = args.eval_users
+    if args.packed:
+        from types import SimpleNamespace
+
+        state = SimpleNamespace(params=unpack_bprmf_params(state, args.embed_k))
     uf = state.params["Gu"][:Bu]
     ref_scores = jnp.zeros((Bu, 1), jnp.float32)
 

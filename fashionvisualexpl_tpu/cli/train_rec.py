@@ -65,6 +65,14 @@ def parse_args(argv=None):
     p.add_argument("--eval_user_block", type=int, default=2048)
     p.add_argument("--streaming_eval", action="store_true",
                    help="use the blocked streaming evaluator (factored models)")
+    p.add_argument("--train_path", choices=["generic", "packed"],
+                   default="generic",
+                   help="packed = packed-state rows + LazyAdam "
+                        "(train/packed.py; bprmf/vbpr, single-device) — "
+                        "~2.5x throughput at large table counts")
+    p.add_argument("--bootstrap", action="store_true",
+                   help="with-replacement triple sampling (original-BPR "
+                        "bootstrap) instead of the epoch permutation")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis size")
     p.add_argument("--mesh_model", type=int, default=1,
@@ -183,6 +191,7 @@ def train(argv=None):
             validation=args.validation, reg=current_reg,
             best_metric=args.best_metric, seed=args.seed, paths=paths,
             mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
+            train_path=args.train_path, bootstrap=args.bootstrap,
         )
         data = Interactions.load(cfg)
 

@@ -156,6 +156,14 @@ class TrainConfig:
     paths: Paths = field(default_factory=Paths)
     # numeric precision of the compute path; params stay float32
     compute_dtype: str = "float32"
+    # "generic": take-VJP + dense TF-parity Adam (reference optimizer
+    # semantics).  "packed": packed-state rows + LazyAdam (train/packed.py)
+    # — the fastest single-chip path at large table counts; available for
+    # bprmf/vbpr, single-device.
+    train_path: str = "generic"
+    # with-replacement triple sampling (original-BPR bootstrap scheme);
+    # False = the reference's epoch-permutation scheme (dataset.py:83-114)
+    bootstrap: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

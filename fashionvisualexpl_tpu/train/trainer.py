@@ -75,6 +75,7 @@ class Trainer:
         self._padded_pos = jnp.asarray(data.padded_pos)
         self._pos_counts = jnp.asarray(data.pos_counts)
 
+        self._packed = None  # (pack_fn, unpack_fn) when the packed path is on
         if self.mesh is not None:
             from fashionvisualexpl_tpu.parallel.spmd import make_spmd_epoch_fn
 
@@ -82,6 +83,10 @@ class Trainer:
                 model, self.mesh, self.tx, cfg.reg, data.num_items,
                 self.steps_per_epoch, cfg.batch_size,
             )
+        elif cfg.train_path == "packed":
+            self._epoch_fn = self._build_packed_epoch_fn()
+        elif cfg.train_path != "generic":
+            raise ValueError(f"unknown train_path {cfg.train_path!r}")
         else:
             self._epoch_fn = self._build_epoch_fn()
 
@@ -118,6 +123,40 @@ class Trainer:
 
         return jax.jit(epoch_fn, donate_argnums=(0,))
 
+    def _build_packed_epoch_fn(self) -> Callable:
+        """Packed-state + LazyAdam path (train/packed.py) behind the same
+        epoch-fn interface; state is a PackedTrainState whose `.params`
+        property materializes the standard dict for eval/checkpoint."""
+        from fashionvisualexpl_tpu.train import packed as P
+
+        model, cfg = self.model, self.cfg
+        steps, batch = self.steps_per_epoch, cfg.batch_size
+        if model.name == "bprmf":
+            inner = P.make_packed_epoch_fn(
+                model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
+                with_replacement=cfg.bootstrap,
+            )
+
+            def epoch_fn(state, frozen, key, pairs, pos, cnt):
+                new, loss = inner(state.inner, key, pairs, pos, cnt)
+                return state.with_inner(new), loss
+
+        elif model.name == "vbpr":
+            inner = P.make_packed_vbpr_epoch_fn(
+                model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
+                with_replacement=cfg.bootstrap,
+            )
+
+            def epoch_fn(state, frozen, key, pairs, pos, cnt):
+                new, loss = inner(state.inner, frozen["F"], key, pairs, pos, cnt)
+                return state.with_inner(new), loss
+
+        else:
+            raise NotImplementedError(
+                f"train_path='packed' supports bprmf/vbpr, not {model.name}"
+            )
+        return epoch_fn
+
     def init_state(self, rng: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         params, frozen = self.model.init(rng)
@@ -125,6 +164,26 @@ class Trainer:
             from fashionvisualexpl_tpu.parallel.spmd import shard_params
 
             params, frozen = shard_params(self.model, params, frozen, self.mesh)
+        elif self.cfg.train_path == "packed":
+            from fashionvisualexpl_tpu.train import packed as P
+
+            model = self.model
+            if model.name == "bprmf":
+                return (
+                    P.PackedTrainState(
+                        P.pack_bprmf_state(params), "bprmf", model.embed_k, 0
+                    ),
+                    frozen,
+                )
+            if model.name == "vbpr":
+                return (
+                    P.PackedTrainState(
+                        P.pack_vbpr_state(params), "vbpr",
+                        model.embed_k, model.embed_d,
+                    ),
+                    frozen,
+                )
+            raise NotImplementedError(model.name)
         return create_train_state(params, self.tx), frozen
 
     def run_epoch(

@@ -205,3 +205,191 @@ def shard_fast_state(state: FastState, mesh: Mesh) -> FastState:
         mu=place(state.mu),
         nu=place(state.nu),
     )
+
+
+# --- sharded packed-state path (train/packed.py layout over a mesh) ---
+
+
+def _packed_forward_take(pmv_shard, ids, emb_cols, bias_col=None,
+                         axis_name=MODEL_AXIS):
+    """Collective forward lookup against a row-sharded PACKED table: one
+    local row gather, slice out the parameter columns (and optionally the
+    folded bias), one psum of just those columns — the m/v columns never
+    ride the ICI."""
+    shard = jax.lax.axis_index(axis_name)
+    rows = pmv_shard.shape[0]
+    local = ids - shard * rows
+    ok = jnp.logical_and(local >= 0, local < rows)
+    rows_v = jnp.take(pmv_shard, jnp.where(ok, local, 0), axis=0)
+    emb = jnp.where(ok[:, None], rows_v[:, :emb_cols], 0.0)
+    if bias_col is None:
+        return jax.lax.psum(emb, axis_name)
+    bias = jnp.where(ok, rows_v[:, bias_col], 0.0)
+    out = jax.lax.psum(
+        jnp.concatenate([emb, bias[:, None]], axis=1), axis_name
+    )
+    return out[:, :emb_cols], out[:, emb_cols]
+
+
+def _sharded_packed_lazy_apply(pmv, tau, uids, g, lr, t, k_groups,
+                               axis_name=MODEL_AXIS):
+    """Per-shard LazyAdam on packed rows: gather the owned unique rows,
+    apply catch-up decay + update per column group, scatter back.  Non-owned
+    (and pad) ids route out of range and are dropped by the scatter.
+
+    k_groups: list of (pmv column offset, grad column offset, width) — e.g.
+    the item table updates its [3K] embedding block and its [3] bias block
+    from one [S, K+1] grad matrix."""
+    from fashionvisualexpl_tpu.train.packed import _lazy_rows
+
+    shard = jax.lax.axis_index(axis_name)
+    rows = pmv.shape[0]
+    local = uids - shard * rows
+    ok = jnp.logical_and(local >= 0, local < rows)
+    safe_read = jnp.where(ok, local, 0)
+    safe_write = jnp.where(ok, local, rows)  # out-of-range => dropped
+    old = jnp.take(pmv, safe_read, axis=0)
+    dt = (t - tau[safe_read].astype(jnp.float32))[:, None]
+    parts = []
+    for pmv_off, g_off, width in k_groups:
+        parts.append(_lazy_rows(
+            old[:, pmv_off:pmv_off + 3 * width],
+            g[:, g_off:g_off + width], dt, t, lr,
+        ))
+    new = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    pmv = pmv.at[safe_write].set(new, unique_indices=True)
+    tau = tau.at[safe_write].set(t.astype(tau.dtype), unique_indices=True)
+    return pmv, tau
+
+
+def make_packed_spmd_epoch_fn(
+    model,  # BPRMF
+    mesh: Mesh,
+    lr: float,
+    reg: float,
+    num_items: int,
+    steps: int,
+    batch: int,
+    with_replacement: bool = False,
+) -> Callable:
+    """Sharded packed epoch for BPRMF: the packed-state/LazyAdam fast path
+    (train/packed.py — measured 2.5x the sparse path on one chip) with
+    tables row-sharded over `model` and the batch over `data`.  Collectives
+    per step: K(+1)-wide lookup psums over `model`, row-grad all_gather
+    over `data`; the optimizer applies strictly locally."""
+    from fashionvisualexpl_tpu.train.packed import PackedLazyState
+
+    d_size = mesh.shape[DATA_AXIS]
+    if batch % d_size != 0:
+        raise ValueError(f"batch {batch} not divisible by data axis {d_size}")
+    K = model.embed_k
+
+    def local_step(state: PackedLazyState, u, p_ids, n_ids):
+        gu = _packed_forward_take(state.user_pmv, u, K)
+        gp, bp = _packed_forward_take(state.item_pmv, p_ids, K, 3 * K)
+        gn, bn = _packed_forward_take(state.item_pmv, n_ids, K, 3 * K)
+
+        def local_loss(gu, gp, gn, bp, bn):
+            x_pos = bp + jnp.sum(gu * gp, axis=1)
+            x_neg = bn + jnp.sum(gu * gn, axis=1)
+            loss = bpr_pairwise_loss(x_pos, x_neg)
+            return loss + (
+                reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn)) * 2.0
+                + reg * l2_loss(bp) * 2.0
+                + reg * l2_loss(bn) * 2.0 / 10.0
+            )
+
+        loss, grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2, 3, 4)
+        )(gu, gp, gn, bp, bn)
+        loss = jax.lax.psum(loss, DATA_AXIS)
+
+        def gather_all(x):
+            g = jax.lax.all_gather(x, DATA_AXIS)
+            return g.reshape((-1,) + g.shape[2:])
+
+        u_all = gather_all(u)
+        p_all = gather_all(p_ids)
+        n_all = gather_all(n_ids)
+        dgu, dgp, dgn, dbp, dbn = (gather_all(g) for g in grads)
+
+        t = (state.step + 1).astype(jnp.float32)
+        B = u_all.shape[0]
+
+        uids, cg = compact_row_grads(u_all, dgu, B)
+        user_pmv, tau_u = _sharded_packed_lazy_apply(
+            state.user_pmv, state.tau_u, uids, cg, lr, t, [(0, 0, K)]
+        )
+        ii = jnp.concatenate([p_all, n_all])
+        gi_cat = jnp.concatenate(
+            [
+                jnp.concatenate([dgp, dgn], axis=0),
+                jnp.concatenate([dbp, dbn])[:, None],
+            ],
+            axis=1,
+        )
+        iids, cgi = compact_row_grads(ii, gi_cat, 2 * B)
+        item_pmv, tau_i = _sharded_packed_lazy_apply(
+            state.item_pmv, state.tau_i, iids, cgi, lr, t,
+            [(0, 0, K), (3 * K, K, 1)],
+        )
+        return (
+            PackedLazyState(state.step + 1, user_pmv, item_pmv, tau_u, tau_i),
+            loss,
+        )
+
+    from fashionvisualexpl_tpu.train.packed import PackedLazyState as PLS
+
+    state_specs = PLS(
+        step=P(),
+        user_pmv=P(MODEL_AXIS, None),
+        item_pmv=P(MODEL_AXIS, None),
+        tau_u=P(MODEL_AXIS),
+        tau_i=P(MODEL_AXIS),
+    )
+    batch_spec = P(DATA_AXIS)
+
+    sharded_step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_specs, batch_spec, batch_spec, batch_spec),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state, key, train_pairs, padded_pos, pos_counts):
+        sample_key, _ = jax.random.split(key)
+        users, pos, neg = sample_triplets(
+            sample_key, train_pairs, padded_pos, pos_counts,
+            num_items, steps, batch, with_replacement=with_replacement,
+        )
+
+        def body(st, sb):
+            u, p, n = sb
+            return sharded_step(st, u, p, n)
+
+        state, losses = jax.lax.scan(body, state, (users, pos, neg))
+        return state, jnp.sum(losses)
+
+    return epoch
+
+
+def shard_packed_state(state, mesh: Mesh):
+    """Place a PackedLazyState row-sharded over `model` (rows must divide
+    the model-axis size; pad upstream if needed)."""
+    from jax.sharding import NamedSharding
+
+    from fashionvisualexpl_tpu.train.packed import PackedLazyState
+
+    def row_sharded(x):
+        spec = P(MODEL_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return PackedLazyState(
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        user_pmv=row_sharded(state.user_pmv),
+        item_pmv=row_sharded(state.item_pmv),
+        tau_u=row_sharded(state.tau_u),
+        tau_i=row_sharded(state.tau_i),
+    )

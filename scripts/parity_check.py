@@ -95,6 +95,9 @@ def main():
     ap.add_argument("--reg", type=float, default=0.001)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--top_k", type=int, default=20)
+    ap.add_argument("--train_path", choices=["generic", "packed"],
+                    default="generic",
+                    help="also validates the packed/LazyAdam path's accuracy")
     args = ap.parse_args()
 
     import contextlib
@@ -128,7 +131,8 @@ def main():
 
     # ours (TPU framework)
     cfg = TrainConfig(batch_size=args.batch, epochs=args.epochs, lr=args.lr,
-                      reg=args.reg, top_k=args.top_k, eval_every=args.epochs)
+                      reg=args.reg, top_k=args.top_k, eval_every=args.epochs,
+                      train_path=args.train_path)
     model = BPRMF(data.num_users, data.num_items, embed_k=args.embed_k)
     ev = Evaluator(model, data, k=args.top_k, user_block=256)
     buf = io.StringIO()

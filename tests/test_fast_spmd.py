@@ -58,3 +58,53 @@ def test_fast_spmd_matches_fast_single_device():
             np.asarray(s8.mu[name]), np.asarray(s1.mu[name]),
             rtol=3e-4, atol=1e-6, err_msg=f"mu {name}",
         )
+
+
+def test_packed_spmd_matches_packed_single_device():
+    """Sharded packed path == single-device packed path (same LazyAdam
+    semantics; collectives must not perturb the numbers beyond float
+    reduction order)."""
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_packed_spmd_epoch_fn, shard_packed_state,
+    )
+    from fashionvisualexpl_tpu.train.packed import (
+        make_packed_epoch_fn, pack_bprmf_state, unpack_bprmf_params,
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    data = synthetic_interactions(24, 32, interactions_per_user=8, seed=0)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    lr, reg, batch = 0.01, 0.01, 16
+    steps = data.steps_per_epoch(batch)
+    args = (
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+    )
+    key = jax.random.PRNGKey(0)
+    params, _ = model.init(jax.random.PRNGKey(1))
+
+    s1 = pack_bprmf_state(params)
+    ep1 = make_packed_epoch_fn(model, lr, reg, data.num_items, steps, batch,
+                               with_replacement=False)
+    s8 = shard_packed_state(pack_bprmf_state(params), mesh)
+    ep8 = make_packed_spmd_epoch_fn(
+        model, mesh, lr, reg, data.num_items, steps, batch
+    )
+
+    for e in range(3):
+        k = jax.random.fold_in(key, e)
+        sk, _ = jax.random.split(k)
+        s1, l1 = ep1(s1, sk, *args)
+        s8, l8 = ep8(s8, k, *args)
+        np.testing.assert_allclose(float(l8), float(l1), rtol=1e-5)
+
+    p1 = unpack_bprmf_params(s1, 8)
+    p8 = unpack_bprmf_params(s8, 8)
+    for k_ in ("Bi", "Gu", "Gi"):
+        np.testing.assert_allclose(
+            np.asarray(p8[k_]), np.asarray(p1[k_]),
+            rtol=2e-4, atol=1e-6, err_msg=k_,
+        )
+    np.testing.assert_array_equal(np.asarray(s8.tau_u), np.asarray(s1.tau_u))
+    np.testing.assert_array_equal(np.asarray(s8.tau_i), np.asarray(s1.tau_i))

@@ -24,8 +24,45 @@ from fashionvisualexpl_tpu.data.interactions import Interactions, pad_lists
 from fashionvisualexpl_tpu.ops.metrics import MeanMetrics, PerUserMetrics, mean_metrics
 from fashionvisualexpl_tpu.ops.topk import (
     filter_items_topk,
+    streaming_counts,
     streaming_topk_and_counts,
 )
+
+
+def sharded_streaming_counts(
+    mesh, uf, item_factors, item_bias, ref_scores, banned_ids, item_block
+):
+    """Distributed counts-only pass: each model-shard scans its item rows
+    with its global offset; the >=-position counts psum over `model`."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fashionvisualexpl_tpu.core.mesh import MODEL_AXIS
+
+    m_size = mesh.shape[MODEL_AXIS]
+    I = item_factors.shape[0]
+    if I % m_size != 0:
+        raise ValueError(f"items {I} not divisible by model axis {m_size}")
+    rows = I // m_size
+
+    def shard_fn(uf, iv, ib, ref_s, banned):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        counts = streaming_counts(
+            uf, iv, None if ib is None else ib,
+            ref_scores=ref_s, banned_ids=banned,
+            item_block=item_block, item_offset=shard * rows,
+        )
+        return jax.lax.psum(counts, MODEL_AXIS)
+
+    bias_spec = P() if item_bias is None else P(MODEL_AXIS)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), bias_spec, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(uf, item_factors, item_bias, ref_scores, banned_ids)
 
 
 def sharded_streaming_topk_and_counts(
@@ -159,15 +196,14 @@ class FactoredEvaluator:
             axis=1,
         )  # [Bu, P+T]
 
-        k_big = k + P  # enough candidates to survive train filtering
         if self.mesh is not None:
-            top_vals, top_idx, position_t = sharded_streaming_topk_and_counts(
-                self.mesh, uf, item_factors, item_bias, k_big,
+            position_t = sharded_streaming_counts(
+                self.mesh, uf, item_factors, item_bias,
                 s_eval, banned, self.item_block,
             )
         else:
-            top_vals, top_idx, position_t = streaming_topk_and_counts(
-                uf, item_factors, item_bias, k_big,
+            position_t = streaming_counts(
+                uf, item_factors, item_bias,
                 ref_scores=s_eval, banned_ids=banned,
                 item_block=self.item_block,
             )
@@ -176,15 +212,26 @@ class FactoredEvaluator:
         denom = jnp.maximum(num_neg * ev_counts, 1).astype(jnp.float32)
         auc = 1.0 - position.astype(jnp.float32) / denom
 
-        # top-k over candidates = filter train items, keep first k
-        _, final_idx = filter_items_topk(
-            top_vals, top_idx, train_items, train_counts, k
+        # count-based hits — NO top-k: under the candidate protocol
+        # (negatives in id order, eval items appended at the tail,
+        # heapq.nlargest stable ordering) eval item t is in the top-k iff
+        # rank_t < k where rank_t = |negatives >= s_t| (= position_t,
+        # >= because earlier-listed negatives win ties) + earlier eval
+        # items with >= (they win ties) + later eval items with >
+        later_gt = jnp.logical_and(
+            s_eval[:, None, :] > s_eval[:, :, None],  # s_t' > s_t
+            jnp.arange(T)[None, None, :] > jnp.arange(T)[None, :, None],
         )
-        hit_mat = jnp.logical_and(
-            final_idx[:, :, None] == ev_items[:, None, :],
-            t_valid[:, None, :],
-        ).any(axis=2)
-        hits = hit_mat.sum(axis=1).astype(jnp.float32)
+        earlier_ge = jnp.logical_and(
+            s_eval[:, None, :] >= s_eval[:, :, None],
+            jnp.arange(T)[None, None, :] < jnp.arange(T)[None, :, None],
+        )
+        eval_above = jnp.logical_and(
+            jnp.logical_or(later_gt, earlier_ge), t_valid[:, None, :]
+        ).sum(axis=2, dtype=jnp.int32)  # [Bu, T]
+        rank_t = position_t + eval_above
+        hit_t = jnp.logical_and(t_valid, rank_t < k)
+        hits = hit_t.sum(axis=1).astype(jnp.float32)
         hr = (hits > 0).astype(jnp.float32)
         prec = hits / float(k)
         rec = hits / jnp.maximum(ev_counts, 1).astype(jnp.float32)

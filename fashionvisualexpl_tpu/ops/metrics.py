@@ -73,25 +73,43 @@ def eval_users(
 
     pos_scores = jnp.take_along_axis(scores, eval_items, axis=1)  # [U, T]
 
-    # position[u] = sum_t |{i in neg : scores[u,i] >= pos_scores[u,t]}|
+    # position_t[u, t] = |{i in neg : scores[u,i] >= pos_scores[u,t]}|
     # Loop over the (small, static) T axis to avoid a [U, I, T] intermediate.
     position = jnp.zeros((U,), jnp.int32)
+    position_t = []
     for t in range(T):
         ge = jnp.logical_and(
             neg_mask, scores >= pos_scores[:, t : t + 1]
         ).sum(axis=1, dtype=jnp.int32)
+        position_t.append(ge)
         position = position + jnp.where(t_valid[:, t], ge, 0)
+    position_t = jnp.stack(position_t, axis=1)  # [U, T]
 
     num_neg = neg_mask.sum(axis=1, dtype=jnp.int32)
     num_pos = eval_counts
     denom = jnp.maximum(num_neg * num_pos, 1).astype(jnp.float32)
     auc = 1.0 - position.astype(jnp.float32) / denom
+    del cand_mask  # hits are count-based; no top-k over the item axis
 
-    # top-K over the candidate list
-    masked = jnp.where(cand_mask, scores, NEG_INF)
-    _, top_idx = jax.lax.top_k(masked, k)  # [U, k]
-    r = jnp.take_along_axis(eval_mask, top_idx, axis=1)  # [U, k] bool
-    hits = r.sum(axis=1).astype(jnp.float32)
+    # count-based hits: under the candidate protocol (negatives in id
+    # order, eval items appended at the tail, heapq.nlargest stable
+    # ordering — Evaluator.py:36-56,103-117) eval item t is in the top-k
+    # iff rank_t < k, rank_t = |negatives >= s_t| + |earlier eval >= s_t|
+    # + |later eval > s_t|.  Avoids the [U, I] top-k (a full-sort lowering
+    # on TPU) entirely.
+    later_gt = jnp.logical_and(
+        pos_scores[:, None, :] > pos_scores[:, :, None],
+        jnp.arange(T)[None, None, :] > jnp.arange(T)[None, :, None],
+    )
+    earlier_ge = jnp.logical_and(
+        pos_scores[:, None, :] >= pos_scores[:, :, None],
+        jnp.arange(T)[None, None, :] < jnp.arange(T)[None, :, None],
+    )
+    eval_above = jnp.logical_and(
+        jnp.logical_or(later_gt, earlier_ge), t_valid[:, None, :]
+    ).sum(axis=2, dtype=jnp.int32)  # [U, T]
+    hit_t = jnp.logical_and(t_valid, position_t + eval_above < k)
+    hits = hit_t.sum(axis=1).astype(jnp.float32)
 
     hr = (hits > 0).astype(jnp.float32)
     prec = hits / float(k)
@@ -130,5 +148,5 @@ def topk_recommendations(
     Evaluator.store_recommendation (Evaluator.py:225-239).  Returns
     (top_idx [U,k], top_scores [U,k]) sorted descending."""
     masked = jnp.where(train_mask, NEG_INF, scores)
-    top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_scores, top_idx = jax.lax.approx_max_k(masked, k, recall_target=1.0)
     return top_idx, top_scores

@@ -235,7 +235,9 @@ def test_training_reduces_loss():
     model = CompVBPR(
         U, I, sem, col, _edge_images(), tex, embed_k=8, embed_d=4,
     )
-    cfg = TrainConfig(batch_size=8, epochs=3, lr=0.05, reg=0.0,
+    # lr kept small: the 4096-wide CNN tower diverges chaotically at 0.05
+    # (amplifies run-to-run float reduction-order differences into a flake)
+    cfg = TrainConfig(batch_size=8, epochs=3, lr=0.005, reg=0.0,
                       validation=False)
     state, frozen, results, extra = fit(model, data, cfg)
     history = extra["history"]

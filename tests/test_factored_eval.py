@@ -114,3 +114,17 @@ def test_streaming_store_recommendation_matches_dense(tmp_path):
         np.testing.assert_allclose(
             [s for _, s in dense[u]], [s for _, s in stream[u]], rtol=1e-5
         )
+
+
+def test_approx_max_k_exactness_pin():
+    """The streaming kernel and metric top-k rely on approx_max_k with
+    recall_target=1.0 being EXACT (values and indices) — pin it against
+    lax.top_k on this backend."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(37, 911)).astype(np.float32))
+    tv, ti = jax.lax.top_k(x, 21)
+    av, ai = jax.lax.approx_max_k(x, 21, recall_target=1.0)
+    np.testing.assert_array_equal(np.asarray(tv), np.asarray(av))
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ai))

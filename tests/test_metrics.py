@@ -67,3 +67,35 @@ def test_perfect_model_metrics():
         np.array([ours.hr, ours.prec, ours.rec, ours.auc, ours.ndcg]),
         oracle, rtol=1e-6,
     )
+
+
+def test_count_based_hits_match_oracle_under_ties():
+    """hits are now rank-count-based (no top-k); the ranking must match the
+    oracle's stable candidate-list ordering EXACTLY, including score ties
+    (quantized scores force many)."""
+    import numpy as np
+
+    from fashionvisualexpl_tpu.data.interactions import multi_hot, pad_lists
+    from fashionvisualexpl_tpu.ops.metrics import eval_users
+    from tests.reference_oracle import eval_by_user_oracle
+
+    rng = np.random.default_rng(17)
+    U, I, k = 12, 30, 5
+    scores = rng.integers(0, 4, size=(U, I)).astype(np.float32)  # heavy ties
+    training_list, eval_list = [], []
+    for u in range(U):
+        perm = rng.permutation(I)
+        training_list.append(sorted(perm[:6].tolist()))
+        n_eval = int(rng.integers(1, 4))
+        eval_list.append(sorted(perm[6:6 + n_eval].tolist()))
+
+    train_mask = jnp.asarray(multi_hot(training_list, I))
+    items, counts = pad_lists(eval_list, pad_value=0)
+    got = eval_users(jnp.asarray(scores), train_mask,
+                     jnp.asarray(items), jnp.asarray(counts), k)
+    for u in range(U):
+        want = eval_by_user_oracle(scores[u], training_list[u], eval_list[u], k)
+        got_u = (float(got.hr[u]), float(got.prec[u]), float(got.rec[u]),
+                 float(got.auc[u]), float(got.ndcg[u]))
+        np.testing.assert_allclose(got_u, np.asarray(want, np.float64),
+                                   rtol=1e-5, err_msg=f"user {u}")

@@ -68,7 +68,7 @@ def parse_args(argv=None):
     p.add_argument("--train_path", choices=["generic", "packed"],
                    default="generic",
                    help="packed = packed-state rows + LazyAdam "
-                        "(train/packed.py; bprmf/vbpr, single-device) — "
+                        "(train/packed.py; bprmf/vbpr/grad_fashion) — "
                         "~2.5x throughput at large table counts")
     p.add_argument("--bootstrap", action="store_true",
                    help="with-replacement triple sampling (original-BPR "

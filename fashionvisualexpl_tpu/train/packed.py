@@ -207,6 +207,10 @@ class PackedTrainState:
     def params(self):
         if self.kind == "bprmf":
             return unpack_bprmf_params(self.inner, self.embed_k)
+        if self.kind == "grad_fashion":
+            return unpack_grad_fashion_params(
+                self.inner, self.embed_k, self.embed_d
+            )
         return unpack_vbpr_params(self.inner, self.embed_k, self.embed_d)
 
 
@@ -379,6 +383,186 @@ def make_packed_vbpr_epoch_fn(model, lr: float, reg: float, num_items: int,
 
         def body(st, sb):
             return step_fn(st, (frozen_F, sb))
+
+        state, losses = jax.lax.scan(body, state, (users, pos, neg))
+        return state, jnp.sum(losses)
+
+    return epoch
+
+
+# --- GradFashion (reference loss semantics, GradFashion.py:136-193) ---
+
+
+class PackedGradFashionState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    user_pmv: jax.Array  # [U, 3(K+D)]: p=[Gu|Tu], then m, then v
+    item_pmv: jax.Array  # [I, 3K + 3]  (as BPRMF)
+    tau_u: jax.Array  # [U] int32
+    tau_i: jax.Array  # [I] int32
+    dense: dict  # {"E"/"Bp"/"Ec"/"Ee": (p, m, v)} — small whole matrices
+
+
+def pack_grad_fashion_state(params) -> PackedGradFashionState:
+    Gu, Tu, Gi, Bi = params["Gu"], params["Tu"], params["Gi"], params["Bi"]
+    U, K = Gu.shape
+    D = Tu.shape[1]
+    I = Gi.shape[0]
+    user = jnp.concatenate(
+        [Gu, Tu, jnp.zeros((U, 2 * (K + D)), Gu.dtype)], axis=1
+    )
+    item = jnp.concatenate(
+        [
+            Gi,
+            jnp.zeros((I, 2 * K), Gi.dtype),
+            Bi[:, None],
+            jnp.zeros((I, 2), Bi.dtype),
+        ],
+        axis=1,
+    )
+    dense = {
+        name: (params[name], jnp.zeros_like(params[name]),
+               jnp.zeros_like(params[name]))
+        for name in ("E", "Bp", "Ec", "Ee")
+    }
+    return PackedGradFashionState(
+        jnp.zeros((), jnp.int32), user, item,
+        jnp.zeros((U,), jnp.int32), jnp.zeros((I,), jnp.int32), dense,
+    )
+
+
+def unpack_grad_fashion_params(state: PackedGradFashionState,
+                               embed_k: int, embed_d: int):
+    K, D = embed_k, embed_d
+    return {
+        "Gu": state.user_pmv[:, :K],
+        "Tu": state.user_pmv[:, K:K + D],
+        "Gi": state.item_pmv[:, :K],
+        "Bi": state.item_pmv[:, 3 * K],
+        "E": state.dense["E"][0],
+        "Bp": state.dense["Bp"][0],
+        "Ec": state.dense["Ec"][0],
+        "Ee": state.dense["Ee"][0],
+    }
+
+
+def make_packed_grad_fashion_step(model, lr: float, reg: float) -> Callable:
+    """GradFashion train step over packed state.  Structure is VBPR's plus a
+    second frozen family and the Ec/Ee family projections; the reference's
+    reg here keeps BOTH biases at full reg — no /10 (GradFashion.py:171-181,
+    reproduced from models/grad_fashion.py::loss)."""
+    from fashionvisualexpl_tpu.train.fast import dense_adam
+
+    K, D = model.embed_k, model.embed_d
+
+    def step(state: PackedGradFashionState, batch):
+        (frozen_Fc, frozen_Fe), (u, p_ids, n_ids) = batch
+        B = u.shape[0]
+        ii = jnp.concatenate([p_ids, n_ids])
+
+        UR = jnp.take(state.user_pmv, u, axis=0)  # [B, 3(K+D)]
+        IR = jnp.take(state.item_pmv, ii, axis=0)  # [2B, 3K+3]
+        FC = jnp.take(frozen_Fc, ii, axis=0)  # [2B, dim_c]
+        FE = jnp.take(frozen_Fe, ii, axis=0)  # [2B, dim_e]
+        gu, tu = UR[:, :K], UR[:, K:K + D]
+        gp, gn = IR[:B, :K], IR[B:, :K]
+        bp, bn = IR[:B, 3 * K], IR[B:, 3 * K]
+        cp, cn = FC[:B], FC[B:]
+        ep, en = FE[:B], FE[B:]
+        E, Bp = state.dense["E"][0], state.dense["Bp"][0]
+        Ec, Ee = state.dense["Ec"][0], state.dense["Ee"][0]
+
+        def local_loss(gu, tu, gp, gn, bp, bn, E, Bp, Ec, Ee):
+            vf_p = jnp.concatenate([cp @ Ec, ep @ Ee], axis=1)
+            vf_n = jnp.concatenate([cn @ Ec, en @ Ee], axis=1)
+            x_pos = (
+                bp + jnp.sum(gu * gp, axis=1)
+                + jnp.sum(tu * (vf_p @ E), axis=1) + (vf_p @ Bp)[:, 0]
+            )
+            x_neg = (
+                bn + jnp.sum(gu * gn, axis=1)
+                + jnp.sum(tu * (vf_n @ E), axis=1) + (vf_n @ Bp)[:, 0]
+            )
+            loss = bpr_pairwise_loss(x_pos, x_neg)
+            return loss + (
+                reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn) + l2_loss(tu))
+                * 2.0
+                + reg * (l2_loss(bp) + l2_loss(bn)) * 2.0
+                + reg * (l2_loss(Ec) + l2_loss(Ee) + l2_loss(E) + l2_loss(Bp))
+                * 2.0
+            )
+
+        loss, grads = jax.value_and_grad(
+            local_loss, argnums=tuple(range(10))
+        )(gu, tu, gp, gn, bp, bn, E, Bp, Ec, Ee)
+        dgu, dtu, dgp, dgn, dbp, dbn, dE, dBp, dEc, dEe = grads
+        t = (state.step + 1).astype(jnp.float32)
+
+        # users: Gu and Tu grads share the id dedupe (one packed row)
+        uids, cg = compact_row_grads(
+            u, jnp.concatenate([dgu, dtu], axis=1), B
+        )
+        rows = jnp.take(state.user_pmv, uids, axis=0)
+        dt = (t - state.tau_u[uids].astype(jnp.float32))[:, None]
+        user_pmv = state.user_pmv.at[uids].set(
+            _lazy_rows(rows, cg, dt, t, lr), unique_indices=True
+        )
+        tau_u = state.tau_u.at[uids].set(
+            t.astype(jnp.int32), unique_indices=True
+        )
+
+        # items: embedding + bias grads share the id dedupe
+        gi_cat = jnp.concatenate(
+            [
+                jnp.concatenate([dgp, dgn], axis=0),
+                jnp.concatenate([dbp, dbn])[:, None],
+            ],
+            axis=1,
+        )
+        iids, cgi = compact_row_grads(ii, gi_cat, 2 * B)
+        rows = jnp.take(state.item_pmv, iids, axis=0)
+        dt = (t - state.tau_i[iids].astype(jnp.float32))[:, None]
+        emb = _lazy_rows(rows[:, : 3 * K], cgi[:, :K], dt, t, lr)
+        bias = _lazy_rows(
+            rows[:, 3 * K:].reshape(-1, 3), cgi[:, K:], dt, t, lr
+        )
+        item_pmv = state.item_pmv.at[iids].set(
+            jnp.concatenate([emb, bias], axis=1), unique_indices=True
+        )
+        tau_i = state.tau_i.at[iids].set(
+            t.astype(jnp.int32), unique_indices=True
+        )
+
+        dense = {}
+        for name, g in (("E", dE), ("Bp", dBp), ("Ec", dEc), ("Ee", dEe)):
+            p, m, v = state.dense[name]
+            dense[name] = dense_adam(p, m, v, g, lr, t)
+
+        return (
+            PackedGradFashionState(
+                state.step + 1, user_pmv, item_pmv, tau_u, tau_i, dense
+            ),
+            loss,
+        )
+
+    return step
+
+
+def make_packed_grad_fashion_epoch_fn(
+    model, lr: float, reg: float, num_items: int, steps: int, batch: int,
+    with_replacement: bool = True,
+) -> Callable:
+    step_fn = make_packed_grad_fashion_step(model, lr, reg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: PackedGradFashionState, frozen_Fc, frozen_Fe, key,
+              train_pairs, padded_pos, pos_counts):
+        users, pos, neg = sample_triplets(
+            key, train_pairs, padded_pos, pos_counts, num_items, steps, batch,
+            with_replacement=with_replacement,
+        )
+
+        def body(st, sb):
+            return step_fn(st, ((frozen_Fc, frozen_Fe), sb))
 
         state, losses = jax.lax.scan(body, state, (users, pos, neg))
         return state, jnp.sum(losses)

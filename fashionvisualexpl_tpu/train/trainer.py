@@ -151,9 +151,23 @@ class Trainer:
                 new, loss = inner(state.inner, frozen["F"], key, pairs, pos, cnt)
                 return state.with_inner(new), loss
 
+        elif model.name == "grad_fashion":
+            inner = P.make_packed_grad_fashion_epoch_fn(
+                model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
+                with_replacement=cfg.bootstrap,
+            )
+
+            def epoch_fn(state, frozen, key, pairs, pos, cnt):
+                new, loss = inner(
+                    state.inner, frozen["Fc"], frozen["Fe"], key,
+                    pairs, pos, cnt,
+                )
+                return state.with_inner(new), loss
+
         else:
             raise NotImplementedError(
-                f"train_path='packed' supports bprmf/vbpr, not {model.name}"
+                f"train_path='packed' supports bprmf/vbpr/grad_fashion, "
+                f"not {model.name}"
             )
         return epoch_fn
 
@@ -179,6 +193,14 @@ class Trainer:
                 return (
                     P.PackedTrainState(
                         P.pack_vbpr_state(params), "vbpr",
+                        model.embed_k, model.embed_d,
+                    ),
+                    frozen,
+                )
+            if model.name == "grad_fashion":
+                return (
+                    P.PackedTrainState(
+                        P.pack_grad_fashion_state(params), "grad_fashion",
                         model.embed_k, model.embed_d,
                     ),
                     frozen,

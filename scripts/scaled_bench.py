@@ -53,7 +53,15 @@ def main():
                          "one row per id, LazyAdam semantics — the fastest "
                          "single-chip path at this scale")
     ap.add_argument("--eval_users", type=int, default=4096)
+    ap.add_argument("--model", choices=["bprmf", "vbpr", "grad_fashion"],
+                    default="bprmf",
+                    help="vbpr/grad_fashion require --packed (the fastest "
+                         "path; their generic numbers are in SPEED.md)")
+    ap.add_argument("--dim_f", type=int, default=64,
+                    help="frozen feature dim (per family for grad_fashion)")
     args = ap.parse_args()
+    if args.model != "bprmf" and not args.packed:
+        ap.error(f"--model {args.model} requires --packed")
 
     import jax
     import jax.numpy as jnp
@@ -69,7 +77,23 @@ def main():
     pairs, padded_pos, counts = make_scaled_arrays(
         args.users, args.items, args.pos_per_user
     )
-    model = BPRMF(args.users, args.items, embed_k=args.embed_k)
+    if args.model == "bprmf":
+        model = BPRMF(args.users, args.items, embed_k=args.embed_k)
+    elif args.model == "vbpr":
+        from fashionvisualexpl_tpu.data.features import synthetic_features
+        from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+        feats = synthetic_features(args.items, args.dim_f, seed=1)
+        model = VBPR(args.users, args.items, feats,
+                     embed_k=args.embed_k, embed_d=20)
+    else:
+        from fashionvisualexpl_tpu.data.features import synthetic_features
+        from fashionvisualexpl_tpu.models.grad_fashion import GradFashion
+
+        color = synthetic_features(args.items, args.dim_f, seed=1)
+        edges = synthetic_features(args.items, args.dim_f, seed=2)
+        model = GradFashion(args.users, args.items, color, edges,
+                            embed_k=args.embed_k, embed_d=20)
     params, frozen = model.init(jax.random.PRNGKey(0))
     print("state built", flush=True)
 
@@ -79,7 +103,35 @@ def main():
 
     steps, batch = args.steps, args.batch
 
-    if args.packed:
+    if args.packed and args.model == "vbpr":
+        from fashionvisualexpl_tpu.train.packed import (
+            make_packed_vbpr_epoch_fn, pack_vbpr_state,
+        )
+
+        state = pack_vbpr_state(params)
+        epoch_fn = make_packed_vbpr_epoch_fn(
+            model, 0.001, 0.001, args.items, steps, batch,
+            with_replacement=args.bootstrap,
+        )
+        frozen_F = frozen["F"]
+
+        def run(state, key):
+            return epoch_fn(state, frozen_F, key, pairs_d, pos_d, cnt_d)
+    elif args.packed and args.model == "grad_fashion":
+        from fashionvisualexpl_tpu.train.packed import (
+            make_packed_grad_fashion_epoch_fn, pack_grad_fashion_state,
+        )
+
+        state = pack_grad_fashion_state(params)
+        epoch_fn = make_packed_grad_fashion_epoch_fn(
+            model, 0.001, 0.001, args.items, steps, batch,
+            with_replacement=args.bootstrap,
+        )
+        Fc, Fe = frozen["Fc"], frozen["Fe"]
+
+        def run(state, key):
+            return epoch_fn(state, Fc, Fe, key, pairs_d, pos_d, cnt_d)
+    elif args.packed:
         from fashionvisualexpl_tpu.train.packed import (
             make_packed_epoch_fn, pack_bprmf_state, unpack_bprmf_params,
         )
@@ -142,6 +194,16 @@ def main():
     tps = steps * batch / train_elapsed
     print(f"train: {tps:,.0f} triples/s ({train_elapsed:.2f}s for "
           f"{steps}x{batch})", flush=True)
+
+    if args.model != "bprmf":
+        # eval throughput for the factored models is recorded by the full
+        # evaluator benchmarks (SPEED.md); this script's eval section
+        # measures the shared MF core only
+        print(json.dumps({
+            "scaled_train_triples_per_sec": tps,
+            "config": vars(args),
+        }))
+        return
 
     # streaming eval throughput: top-k + counts over the full catalog for a
     # block of users

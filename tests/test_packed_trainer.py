@@ -85,6 +85,102 @@ def test_packed_vbpr_matches_unpacked_lazy():
         )
 
 
+def test_packed_grad_fashion_matches_generic_full_coverage():
+    """With every user and item touched every step, LazyAdam == dense Adam
+    exactly, so the packed GradFashion step must reproduce the generic path
+    (model.loss + tf_parity_adam) to float32 accuracy."""
+    from fashionvisualexpl_tpu.core.train_state import (
+        apply_gradients, create_train_state, tf_parity_adam,
+    )
+    from fashionvisualexpl_tpu.data.features import synthetic_features
+    from fashionvisualexpl_tpu.models.grad_fashion import GradFashion
+    from fashionvisualexpl_tpu.train.packed import (
+        make_packed_grad_fashion_step, pack_grad_fashion_state,
+        unpack_grad_fashion_params,
+    )
+
+    U, I, K, D = 6, 8, 5, 3
+    dim_c, dim_e = 7, 9
+    color = synthetic_features(I, dim_c, seed=2)
+    edges = synthetic_features(I, dim_e, seed=3)
+    model = GradFashion(U, I, color, edges, embed_k=K, embed_d=D,
+                        embed_color=4, embed_edges=4)
+    lr, reg = 0.02, 0.01
+    params, frozen = model.init(jax.random.PRNGKey(0))
+
+    tx = tf_parity_adam(lr)
+    dense_state = create_train_state(params, tx)
+    packed_state = pack_grad_fashion_state(params)
+    packed_step = jax.jit(make_packed_grad_fashion_step(model, lr, reg))
+
+    @jax.jit
+    def dense_step(st, batch):
+        u, p, n = batch
+
+        def loss_fn(prm):
+            return model.loss(prm, frozen, u, p, n, reg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+        return apply_gradients(st, grads, tx), loss
+
+    Fc, Fe = frozen["Fc"], frozen["Fe"]
+    rng = np.random.default_rng(11)
+    B = 16
+    for s in range(6):
+        # full coverage: all users in u, all items in pos ∪ neg
+        u = jnp.asarray(
+            np.concatenate([np.arange(U), rng.integers(0, U, B - U)]),
+            jnp.int32,
+        )
+        p = jnp.asarray(
+            np.concatenate([np.arange(I), rng.integers(0, I, B - I)]),
+            jnp.int32,
+        )
+        n = jnp.asarray(rng.integers(0, I, B), jnp.int32)
+        dense_state, dl = dense_step(dense_state, (u, p, n))
+        packed_state, pl_ = packed_step(
+            packed_state, ((Fc, Fe), (u, p, n))
+        )
+        np.testing.assert_allclose(float(pl_), float(dl), rtol=1e-6)
+
+    got = unpack_grad_fashion_params(packed_state, K, D)
+    for k in ("Bi", "Gu", "Gi", "Tu", "E", "Bp", "Ec", "Ee"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(dense_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+
+def test_fit_with_packed_grad_fashion():
+    from fashionvisualexpl_tpu.core.config import TrainConfig
+    from fashionvisualexpl_tpu.data.features import synthetic_features
+    from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+    from fashionvisualexpl_tpu.eval.evaluator import Evaluator
+    from fashionvisualexpl_tpu.models.grad_fashion import GradFashion
+    from fashionvisualexpl_tpu.train.trainer import fit
+
+    data = synthetic_interactions(30, 40, interactions_per_user=8, seed=0)
+    color = synthetic_features(40, 10, seed=1)
+    edges = synthetic_features(40, 12, seed=2)
+    model = GradFashion(data.num_users, data.num_items, color, edges,
+                        embed_k=8, embed_d=4, embed_color=4, embed_edges=4)
+    cfg = TrainConfig(batch_size=32, epochs=4, lr=0.05, reg=0.001,
+                      top_k=5, train_path="packed", eval_every=2)
+    ev = Evaluator(model, data, k=5, user_block=32)
+    state, frozen, results, extra = fit(model, data, cfg, evaluator=ev)
+    history = extra["history"]
+    assert history[-1].loss < history[0].loss
+    assert results, "eval ran"
+    s = model.score(state.params, frozen, jnp.asarray([0, 1]),
+                    jnp.asarray([2, 3]))
+    assert s.shape == (2,)
+    # the explanation engine runs off the unpacked params view
+    attr = model.feature_attributions(
+        state.params, frozen, 0, jnp.asarray([1, 2, 3])
+    )
+    assert attr.shape == (3, 2)
+
+
 def test_fit_with_packed_train_path():
     from fashionvisualexpl_tpu.core.config import TrainConfig
     from fashionvisualexpl_tpu.data.features import synthetic_features

@@ -232,6 +232,48 @@ class AttentiveFashion(RecommenderModel):
         )
         return loss + reg_loss
 
+    # --- packed fast path (train/packed_generic.py) ---
+
+    def packed_spec(self):
+        from fashionvisualexpl_tpu.models.base import PackedSpec
+
+        return PackedSpec(
+            user_tables=(("Gu", self.embed_k),),
+            item_tables=(("Gi", self.embed_k),),
+            item_scalars=(),
+            dense=("color_enc", "class_enc", "edges_enc", "attention"),
+        )
+
+    def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
+                    reg, rng=None):
+        _, p_ids, n_ids = ids
+        gamma_u = user_vw["Gu"]
+        gamma_pos, gamma_neg = pos_vw["Gi"], neg_vw["Gi"]
+        rng_pos, rng_neg = (
+            jax.random.split(rng) if rng is not None else (None, None)
+        )
+        # `dense` carries exactly the encoder/attention param subtrees, so
+        # it drops into the shared encode/score helpers as `params`
+        e_pos = self.encode_items(dense, frozen, p_ids, rng_pos)
+        e_neg = self.encode_items(dense, frozen, n_ids, rng_neg)
+        x_pos = self._score_from_encoded(dense, gamma_u, gamma_pos, e_pos)
+        x_neg = self._score_from_encoded(dense, gamma_u, gamma_neg, e_neg)
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+        att = dense["attention"]
+        return loss + (
+            reg
+            * (
+                l2_loss(gamma_u)
+                + l2_loss(gamma_pos)
+                + l2_loss(gamma_neg)
+                + l2_loss(e_pos)
+                + l2_loss(e_neg)
+            )
+            * 2.0
+            + self.global_reg_scale * reg
+            * sum(l2_loss(v) for v in att.values()) * 2.0
+        )
+
     # --- inference ---
 
     def score(self, params, frozen, users, items):

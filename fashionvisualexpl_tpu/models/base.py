@@ -15,13 +15,25 @@ Parameters are split into two pytrees:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
 Frozen = Dict[str, Any]
+
+
+class PackedSpec(NamedTuple):
+    """How a model's params map onto the packed-row fast path
+    (train/packed_generic.py): user/item row tables (name, width), item
+    scalars folded into the item rows, and dense-Adam params (arrays or
+    whole pytrees such as a CNN tower)."""
+
+    user_tables: Tuple[Tuple[str, int], ...]
+    item_tables: Tuple[Tuple[str, int], ...]
+    item_scalars: Tuple[str, ...]
+    dense: Tuple[str, ...]
 
 
 def l2_loss(x: jax.Array) -> jax.Array:
@@ -93,6 +105,24 @@ class RecommenderModel:
     def loss(self, params, frozen, users, pos, neg, reg, rng=None):
         """Training loss.  `rng` is a per-step PRNG key for stochastic layers
         (dropout); models without stochastic layers ignore it."""
+        raise NotImplementedError
+
+    # --- packed fast path (train/packed_generic.py), optional ---
+
+    def packed_spec(self) -> "PackedSpec":
+        """Row/dense layout for the packed fast path; models that support
+        `train_path='packed'` override this together with `packed_loss`."""
+        raise NotImplementedError(
+            f"{self.name} does not implement the packed fast path"
+        )
+
+    def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
+                    reg, rng):
+        """`loss` over pre-gathered row views: user_vw/pos_vw/neg_vw map
+        table names to [B, width] (scalars to [B]) slices of the packed
+        rows; `dense` maps dense param names to values; `frozen` is the
+        whole frozen pytree and `ids=(users, pos, neg)` lets the model
+        gather from it.  Must mirror `loss` semantics exactly."""
         raise NotImplementedError
 
     def precompute_eval(self, params, frozen):

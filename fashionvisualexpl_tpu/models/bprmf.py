@@ -68,6 +68,32 @@ class BPRMF(RecommenderModel):
         )
         return loss + reg_loss
 
+    # --- packed fast path (train/packed_generic.py) ---
+
+    def packed_spec(self):
+        from fashionvisualexpl_tpu.models.base import PackedSpec
+
+        return PackedSpec(
+            user_tables=(("Gu", self.embed_k),),
+            item_tables=(("Gi", self.embed_k),),
+            item_scalars=("Bi",),
+            dense=(),
+        )
+
+    def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
+                    reg, rng=None):
+        gu = user_vw["Gu"]
+        gp, gn = pos_vw["Gi"], neg_vw["Gi"]
+        bp, bn = pos_vw["Bi"], neg_vw["Bi"]
+        x_pos = bp + jnp.sum(gu * gp, axis=1)
+        x_neg = bn + jnp.sum(gu * gn, axis=1)
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+        return loss + (
+            reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn)) * 2.0
+            + reg * l2_loss(bp) * 2.0
+            + reg * l2_loss(bn) * 2.0 / 10.0
+        )
+
     def factored_eval(self, params, frozen):
         """Factored scores for the streaming evaluator (eval/factored.py)."""
         return params["Gu"], params["Gi"], params["Bi"]

@@ -288,6 +288,105 @@ class CompVBPR(RecommenderModel):
         reg_loss = reg_loss + self.global_reg_scale * reg * whole * 2.0
         return loss + reg_loss
 
+    # --- packed fast path (train/packed_generic.py) ---
+
+    def packed_spec(self):
+        from fashionvisualexpl_tpu.models.base import PackedSpec
+
+        user = [("Gu", self.embed_k)]
+        dense = []
+        for act, tu, mats in (
+            (self.activated[0], "Tus", ("Es", "Bps")),
+            (self.activated[1], "Tuc", ("Ec", "Bpc")),
+            (self.activated[2], "Tue", ("cnn", "Bpe")),
+            (self.activated[3], "Tut", ("Et", "Bpt")),
+        ):
+            if act:
+                user.append((tu, self.embed_d))
+                dense.extend(mats)
+        return PackedSpec(
+            user_tables=tuple(user),
+            item_tables=(("Gi", self.embed_k),),
+            item_scalars=("Bi",),
+            dense=tuple(dense),
+        )
+
+    def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
+                    reg, rng=None):
+        _, p_ids, n_ids = ids
+        gamma_u = user_vw["Gu"]
+        theta_us = {
+            key: user_vw[tab]
+            for key, tab in (("s", "Tus"), ("c", "Tuc"), ("e", "Tue"),
+                             ("t", "Tut"))
+            if tab in user_vw
+        }
+        rng_pos, rng_neg = (
+            jax.random.split(rng) if rng is not None else (None, None)
+        )
+        x = {}
+        for tag, vw, item_ids, r in (
+            ("pos", pos_vw, p_ids, rng_pos), ("neg", neg_vw, n_ids, rng_neg)
+        ):
+            xi = vw["Bi"] + jnp.sum(gamma_u * vw["Gi"], axis=-1)
+            if self.activated[0]:
+                xi = xi + self._frozen_family_terms(
+                    dense, theta_us["s"],
+                    self.take("Fs", frozen["Fs"], item_ids),
+                    dense["Es"], dense["Bps"], self.weights[0],
+                )
+            if self.activated[1]:
+                xi = xi + self._frozen_family_terms(
+                    dense, theta_us["c"],
+                    self.take("Fc", frozen["Fc"], item_ids),
+                    dense["Ec"], dense["Bpc"], self.weights[1],
+                )
+            if self.activated[2]:
+                theta_e = self.cnn.apply(
+                    dense["cnn"],
+                    self.take("Fe_img", frozen["Fe_img"], item_ids),
+                    rng=r,
+                )
+                xi = xi + self.weights[2] * (
+                    jnp.sum(theta_us["e"] * theta_e, axis=-1)
+                    + (theta_e @ dense["Bpe"])[..., 0]
+                )
+            if self.activated[3]:
+                xi = xi + self._frozen_family_terms(
+                    dense, theta_us["t"],
+                    self.take("Ft", frozen["Ft"], item_ids),
+                    dense["Et"], dense["Bpt"], self.weights[3],
+                )
+            x[tag] = xi
+
+        loss = bpr_pairwise_loss(x["pos"], x["neg"])
+        # CompVBPR.py:268-277 — gathered factors + per-family user profiles,
+        # neg bias at reg/10
+        reg_loss = (
+            reg
+            * (
+                l2_loss(gamma_u)
+                + l2_loss(pos_vw["Gi"])
+                + l2_loss(neg_vw["Gi"])
+                + sum(l2_loss(t) for t in theta_us.values())
+            )
+            * 2.0
+            + reg * l2_loss(pos_vw["Bi"]) * 2.0
+            + reg * l2_loss(neg_vw["Bi"]) * 2.0 / 10.0
+        )
+        # CompVBPR.py:278-290 — whole-matrix E*/Bp* and CNN non-bias weights
+        whole = jnp.float32(0.0)
+        for nm in ("Es", "Ec", "Et", "Bps", "Bpc", "Bpt", "Bpe"):
+            if nm in dense:
+                whole = whole + l2_loss(dense[nm])
+        if self.activated[2]:
+            whole = whole + sum(
+                l2_loss(v) for k, v in dense["cnn"].items()
+                if not k.endswith("_b")
+            )
+        reg_loss = reg_loss + self.global_reg_scale * reg * whole * 2.0
+        return loss + reg_loss
+
     # --- evaluation (CompVBPR.py:388-459, items encoded once) ---
 
     def encode_all_edges(self, params, frozen):

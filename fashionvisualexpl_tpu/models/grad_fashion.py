@@ -152,6 +152,50 @@ class GradFashion(RecommenderModel):
         )
         return loss + reg_loss
 
+    # --- packed fast path (train/packed_generic.py) ---
+
+    def packed_spec(self):
+        from fashionvisualexpl_tpu.models.base import PackedSpec
+
+        return PackedSpec(
+            user_tables=(("Gu", self.embed_k), ("Tu", self.embed_d)),
+            item_tables=(("Gi", self.embed_k),),
+            item_scalars=("Bi",),
+            dense=("E", "Bp", "Ec", "Ee"),
+        )
+
+    def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
+                    reg, rng=None):
+        _, p_ids, n_ids = ids
+        gu, tu = user_vw["Gu"], user_vw["Tu"]
+        gp, gn = pos_vw["Gi"], neg_vw["Gi"]
+        bp, bn = pos_vw["Bi"], neg_vw["Bi"]
+        cp = self.take("Fc", frozen["Fc"], p_ids)
+        cn = self.take("Fc", frozen["Fc"], n_ids)
+        ep = self.take("Fe", frozen["Fe"], p_ids)
+        en = self.take("Fe", frozen["Fe"], n_ids)
+        E, Bp = dense["E"], dense["Bp"]
+        Ec, Ee = dense["Ec"], dense["Ee"]
+        vf_p = jnp.concatenate([cp @ Ec, ep @ Ee], axis=1)
+        vf_n = jnp.concatenate([cn @ Ec, en @ Ee], axis=1)
+        x_pos = (
+            bp + jnp.sum(gu * gp, axis=1)
+            + jnp.sum(tu * (vf_p @ E), axis=1) + (vf_p @ Bp)[:, 0]
+        )
+        x_neg = (
+            bn + jnp.sum(gu * gn, axis=1)
+            + jnp.sum(tu * (vf_n @ E), axis=1) + (vf_n @ Bp)[:, 0]
+        )
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+        # GradFashion.py:171-181 — both biases at FULL reg, no /10
+        return loss + (
+            reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn) + l2_loss(tu))
+            * 2.0
+            + reg * (l2_loss(bp) + l2_loss(bn)) * 2.0
+            + self.global_reg_scale * reg
+            * (l2_loss(Ec) + l2_loss(Ee) + l2_loss(E) + l2_loss(Bp)) * 2.0
+        )
+
     def item_factors(self, params, frozen):
         vf = self._visual_features(params, frozen["Fc"], frozen["Fe"])  # [I, d_vf]
         theta_i = vf @ params["E"]  # [I, d]

@@ -124,6 +124,44 @@ class VBPR(RecommenderModel):
         )
         return loss + reg_loss
 
+    # --- packed fast path (train/packed_generic.py) ---
+
+    def packed_spec(self):
+        from fashionvisualexpl_tpu.models.base import PackedSpec
+
+        return PackedSpec(
+            user_tables=(("Gu", self.embed_k), ("Tu", self.embed_d)),
+            item_tables=(("Gi", self.embed_k),),
+            item_scalars=("Bi",),
+            dense=("E", "Bp"),
+        )
+
+    def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
+                    reg, rng=None):
+        _, p_ids, n_ids = ids
+        gu, tu = user_vw["Gu"], user_vw["Tu"]
+        gp, gn = pos_vw["Gi"], neg_vw["Gi"]
+        bp, bn = pos_vw["Bi"], neg_vw["Bi"]
+        fp = self.take("F", frozen["F"], p_ids)
+        fn_ = self.take("F", frozen["F"], n_ids)
+        E, Bp = dense["E"], dense["Bp"]
+        x_pos = (
+            bp + jnp.sum(gu * gp, axis=1)
+            + jnp.sum(tu * (fp @ E), axis=1) + (fp @ Bp)[:, 0]
+        )
+        x_neg = (
+            bn + jnp.sum(gu * gn, axis=1)
+            + jnp.sum(tu * (fn_ @ E), axis=1) + (fn_ @ Bp)[:, 0]
+        )
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+        return loss + (
+            reg * (l2_loss(gu) + l2_loss(gp) + l2_loss(gn) + l2_loss(tu))
+            * 2.0
+            + reg * l2_loss(bp) * 2.0
+            + reg * l2_loss(bn) * 2.0 / 10.0
+            + self.global_reg_scale * reg * (l2_loss(E) + l2_loss(Bp)) * 2.0
+        )
+
     def item_factors(self, params, frozen):
         """Precompute (theta_i = F @ E  [I, d], visual_bias = F @ Bp  [I])."""
         theta_i = frozen["F"] @ params["E"]

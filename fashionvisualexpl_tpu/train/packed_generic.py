@@ -1,0 +1,272 @@
+"""Generic packed-state engine: the packed-row + LazyAdam fast path
+(train/packed.py) factored into a model-agnostic engine.
+
+A model opts in by implementing two methods:
+
+- ``packed_spec() -> PackedSpec`` — which params are user-row tables,
+  item-row tables, item scalars (folded into the item row, e.g. the item
+  bias), and which are small dense params (arrays or whole pytrees, e.g. a
+  CNN tower) updated with ordinary dense Adam;
+- ``packed_loss(user_vw, pos_vw, neg_vw, dense, frozen, ids, reg, rng)``
+  — the per-batch loss over the GATHERED row views (``user_vw['Gu']`` is
+  the [B, K] slice of the packed user rows, etc.), mirroring the model's
+  ``loss`` semantics exactly.  ``frozen`` is the whole frozen pytree
+  (device-resident); the model gathers what it needs with ``ids=(u, p, n)``.
+
+The engine owns everything else: row packing ([p | m | v] columns, scalars
+as trailing [p,m,v] triples), the one-dedupe-per-table id compaction, the
+LazyAdam catch-up update on touched rows only, dense Adam on the dense
+pytrees, and the scanned, donated epoch function.  See train/packed.py for
+the measurements motivating the layout (row ops are DMA-issue-latency
+bound; packing p/m/v per id makes the whole optimizer 4 gathers +
+2 scatters regardless of how many logical arrays ride in the row).
+
+Parity: for BPRMF/VBPR/GradFashion this engine reproduces the specialized
+steps in train/packed.py bit-for-bit (pinned in tests/test_packed_generic.py);
+it additionally powers CompVBPR and AttentiveFashion, whose trainable
+towers ride in ``dense``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fashionvisualexpl_tpu.data.sampler import sample_triplets
+from fashionvisualexpl_tpu.train.fast import compact_row_grads, dense_adam
+from fashionvisualexpl_tpu.train.packed import _lazy_rows
+
+
+class PackedSpec(NamedTuple):
+    """Hashable description of how a model's params map onto packed rows."""
+
+    user_tables: Tuple[Tuple[str, int], ...]  # (param name, width)
+    item_tables: Tuple[Tuple[str, int], ...]
+    item_scalars: Tuple[str, ...]  # [I]-shaped params folded into item rows
+    dense: Tuple[str, ...]  # dense-Adam params (arrays or pytrees)
+
+
+class GenericPackedState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    user_pmv: jax.Array  # [U, 3*Wu]
+    item_pmv: jax.Array  # [I, 3*Wi + 3*nS]
+    tau_u: jax.Array  # [U] int32 last-touch step
+    tau_i: jax.Array  # [I] int32
+    dense: Dict[str, tuple]  # name -> (p, m, v) pytrees
+
+
+def _offsets(tables):
+    offs, off = [], 0
+    for name, w in tables:
+        offs.append((name, off, w))
+        off += w
+    return offs, off
+
+
+def pack_generic_state(model, params) -> GenericPackedState:
+    spec: PackedSpec = model.packed_spec()
+    u_offs, Wu = _offsets(spec.user_tables)
+    i_offs, Wi = _offsets(spec.item_tables)
+    U = params[spec.user_tables[0][0]].shape[0]
+    I = params[spec.item_tables[0][0]].shape[0]
+    dtype = params[spec.user_tables[0][0]].dtype
+
+    user = jnp.concatenate(
+        [params[n] for n, _, _ in u_offs] + [jnp.zeros((U, 2 * Wu), dtype)],
+        axis=1,
+    )
+    parts = [params[n] for n, _, _ in i_offs] + [jnp.zeros((I, 2 * Wi), dtype)]
+    for s in spec.item_scalars:
+        parts += [params[s][:, None], jnp.zeros((I, 2), dtype)]
+    item = jnp.concatenate(parts, axis=1)
+
+    zeros_like_tree = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+    dense = {
+        name: (params[name], zeros_like_tree(params[name]),
+               zeros_like_tree(params[name]))
+        for name in spec.dense
+    }
+    return GenericPackedState(
+        jnp.zeros((), jnp.int32), user, item,
+        jnp.zeros((U,), jnp.int32), jnp.zeros((I,), jnp.int32), dense,
+    )
+
+
+def unpack_generic_params(state: GenericPackedState, spec: PackedSpec):
+    """Standard params dict from the packed state (slice views + dense p —
+    amortized over an epoch/eval, never used inside the step)."""
+    u_offs, Wu = _offsets(spec.user_tables)
+    i_offs, Wi = _offsets(spec.item_tables)
+    params = {}
+    for n, off, w in u_offs:
+        params[n] = state.user_pmv[:, off:off + w]
+    for n, off, w in i_offs:
+        params[n] = state.item_pmv[:, off:off + w]
+    for j, s in enumerate(spec.item_scalars):
+        params[s] = state.item_pmv[:, 3 * Wi + 3 * j]
+    for name, (p, _, _) in state.dense.items():
+        params[name] = p
+    return params
+
+
+def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
+    spec: PackedSpec = model.packed_spec()
+    u_offs, Wu = _offsets(spec.user_tables)
+    i_offs, Wi = _offsets(spec.item_tables)
+    nS = len(spec.item_scalars)
+
+    def step(state: GenericPackedState, batch):
+        frozen, (u, p_ids, n_ids), rng = batch
+        B = u.shape[0]
+        ii = jnp.concatenate([p_ids, n_ids])
+
+        UR = jnp.take(state.user_pmv, u, axis=0)  # [B, 3Wu]
+        IR = jnp.take(state.item_pmv, ii, axis=0)  # [2B, 3Wi+3nS]
+
+        user_vw = {n: UR[:, off:off + w] for n, off, w in u_offs}
+        pos_vw = {n: IR[:B, off:off + w] for n, off, w in i_offs}
+        neg_vw = {n: IR[B:, off:off + w] for n, off, w in i_offs}
+        for j, s in enumerate(spec.item_scalars):
+            col = 3 * Wi + 3 * j
+            pos_vw[s] = IR[:B, col]
+            neg_vw[s] = IR[B:, col]
+        dense_p = {name: state.dense[name][0] for name in spec.dense}
+
+        def local_loss(user_vw, pos_vw, neg_vw, dense_p):
+            return model.packed_loss(
+                user_vw, pos_vw, neg_vw, dense_p, frozen,
+                (u, p_ids, n_ids), reg, rng,
+            )
+
+        loss, (gU, gP, gN, gD) = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2, 3)
+        )(user_vw, pos_vw, neg_vw, dense_p)
+        t = (state.step + 1).astype(jnp.float32)
+
+        # --- users: all user tables share one packed row and one dedupe ---
+        gu_cat = jnp.concatenate([gU[n] for n, _, _ in u_offs], axis=1)
+        uids, cg = compact_row_grads(u, gu_cat, B)
+        rows = jnp.take(state.user_pmv, uids, axis=0)
+        dt = (t - state.tau_u[uids].astype(jnp.float32))[:, None]
+        user_pmv = state.user_pmv.at[uids].set(
+            _lazy_rows(rows, cg, dt, t, lr), unique_indices=True
+        )
+        tau_u = state.tau_u.at[uids].set(
+            t.astype(jnp.int32), unique_indices=True
+        )
+
+        # --- items: vector tables + scalars share one dedupe ---
+        gi_parts = [
+            jnp.concatenate([gP[n], gN[n]], axis=0) for n, _, _ in i_offs
+        ]
+        for s in spec.item_scalars:
+            gi_parts.append(jnp.concatenate([gP[s], gN[s]])[:, None])
+        iids, cgi = compact_row_grads(
+            ii, jnp.concatenate(gi_parts, axis=1), 2 * B
+        )
+        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, 3Wi+3nS]
+        dt = (t - state.tau_i[iids].astype(jnp.float32))[:, None]
+        emb = _lazy_rows(rows[:, : 3 * Wi], cgi[:, :Wi], dt, t, lr)
+        if nS:
+            S = rows.shape[0]
+            sc_rows = rows[:, 3 * Wi:].reshape(S * nS, 3)
+            sc_g = cgi[:, Wi:].reshape(S * nS, 1)
+            sc_dt = jnp.repeat(dt, nS, axis=0)
+            sc = _lazy_rows(sc_rows, sc_g, sc_dt, t, lr).reshape(S, 3 * nS)
+            new_rows = jnp.concatenate([emb, sc], axis=1)
+        else:
+            new_rows = emb
+        item_pmv = state.item_pmv.at[iids].set(
+            new_rows, unique_indices=True
+        )
+        tau_i = state.tau_i.at[iids].set(
+            t.astype(jnp.int32), unique_indices=True
+        )
+
+        # --- dense params (arrays or whole pytrees): ordinary dense Adam ---
+        dense = {}
+        for name in spec.dense:
+            p, m, v = state.dense[name]
+            flat_p, treedef = jax.tree_util.tree_flatten(p)
+            flat_m = jax.tree_util.tree_leaves(m)
+            flat_v = jax.tree_util.tree_leaves(v)
+            flat_g = jax.tree_util.tree_leaves(gD[name])
+            outs = [
+                dense_adam(pl, ml, vl, gl, lr, t)
+                for pl, ml, vl, gl in zip(flat_p, flat_m, flat_v, flat_g)
+            ]
+            dense[name] = tuple(
+                jax.tree_util.tree_unflatten(treedef, [o[i] for o in outs])
+                for i in range(3)
+            )
+
+        return (
+            GenericPackedState(
+                state.step + 1, user_pmv, item_pmv, tau_u, tau_i, dense
+            ),
+            loss,
+        )
+
+    return step
+
+
+def make_generic_packed_epoch_fn(
+    model, lr: float, reg: float, num_items: int, steps: int, batch: int,
+    with_replacement: bool = True,
+) -> Callable:
+    """Scanned, donated epoch over the generic packed step.  Per-step PRNG
+    keys are threaded through for models whose loss uses dropout
+    (AttentiveFashion, CompVBPR's CNN tower); others ignore them."""
+    step_fn = make_generic_packed_step(model, lr, reg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: GenericPackedState, frozen, key,
+              train_pairs, padded_pos, pos_counts):
+        sample_key, step_key = jax.random.split(key)
+        users, pos, neg = sample_triplets(
+            sample_key, train_pairs, padded_pos, pos_counts,
+            num_items, steps, batch, with_replacement=with_replacement,
+        )
+        step_keys = jax.random.split(step_key, steps)
+
+        def body(st, sb):
+            u, p, n, k = sb
+            return step_fn(st, (frozen, (u, p, n), k))
+
+        state, losses = jax.lax.scan(
+            body, state, (users, pos, neg, step_keys)
+        )
+        return state, jnp.sum(losses)
+
+    return epoch
+
+
+class GenericPackedTrainState:
+    """Pytree adapter presenting a generic packed state to the shared fit()
+    loop: `.params` materializes the standard dict (slice views + dense p)
+    for eval/best-copy/checkpoint — never used inside the step."""
+
+    def __init__(self, inner: GenericPackedState, spec: PackedSpec):
+        self.inner = inner
+        self.spec = spec
+
+    def with_inner(self, inner):
+        return GenericPackedTrainState(inner, self.spec)
+
+    @property
+    def step(self):
+        return self.inner.step
+
+    @property
+    def params(self):
+        return unpack_generic_params(self.inner, self.spec)
+
+
+jax.tree_util.register_pytree_node(
+    GenericPackedTrainState,
+    lambda s: ((s.inner,), (s.spec,)),
+    lambda aux, ch: GenericPackedTrainState(ch[0], aux[0]),
+)

@@ -124,51 +124,34 @@ class Trainer:
         return jax.jit(epoch_fn, donate_argnums=(0,))
 
     def _build_packed_epoch_fn(self) -> Callable:
-        """Packed-state + LazyAdam path (train/packed.py) behind the same
-        epoch-fn interface; state is a PackedTrainState whose `.params`
-        property materializes the standard dict for eval/checkpoint."""
-        from fashionvisualexpl_tpu.train import packed as P
+        """Packed-state + LazyAdam path (train/packed_generic.py) behind the
+        same epoch-fn interface; state is a GenericPackedTrainState whose
+        `.params` property materializes the standard dict for
+        eval/checkpoint.  Works for any model implementing
+        packed_spec/packed_loss (bprmf, vbpr, grad_fashion, comp_vbpr,
+        attentive_fashion)."""
+        from fashionvisualexpl_tpu.train.packed_generic import (
+            make_generic_packed_epoch_fn,
+        )
 
         model, cfg = self.model, self.cfg
         steps, batch = self.steps_per_epoch, cfg.batch_size
-        if model.name == "bprmf":
-            inner = P.make_packed_epoch_fn(
-                model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
-                with_replacement=cfg.bootstrap,
-            )
-
-            def epoch_fn(state, frozen, key, pairs, pos, cnt):
-                new, loss = inner(state.inner, key, pairs, pos, cnt)
-                return state.with_inner(new), loss
-
-        elif model.name == "vbpr":
-            inner = P.make_packed_vbpr_epoch_fn(
-                model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
-                with_replacement=cfg.bootstrap,
-            )
-
-            def epoch_fn(state, frozen, key, pairs, pos, cnt):
-                new, loss = inner(state.inner, frozen["F"], key, pairs, pos, cnt)
-                return state.with_inner(new), loss
-
-        elif model.name == "grad_fashion":
-            inner = P.make_packed_grad_fashion_epoch_fn(
-                model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
-                with_replacement=cfg.bootstrap,
-            )
-
-            def epoch_fn(state, frozen, key, pairs, pos, cnt):
-                new, loss = inner(
-                    state.inner, frozen["Fc"], frozen["Fe"], key,
-                    pairs, pos, cnt,
-                )
-                return state.with_inner(new), loss
-
-        else:
+        try:
+            model.packed_spec()
+        except NotImplementedError as e:
             raise NotImplementedError(
-                f"train_path='packed' supports bprmf/vbpr/grad_fashion, "
-                f"not {model.name}"
-            )
+                f"train_path='packed' requires packed_spec/packed_loss; "
+                f"{model.name} does not implement them"
+            ) from e
+        inner = make_generic_packed_epoch_fn(
+            model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
+            with_replacement=cfg.bootstrap,
+        )
+
+        def epoch_fn(state, frozen, key, pairs, pos, cnt):
+            new, loss = inner(state.inner, frozen, key, pairs, pos, cnt)
+            return state.with_inner(new), loss
+
         return epoch_fn
 
     def init_state(self, rng: Optional[jax.Array] = None):
@@ -179,33 +162,17 @@ class Trainer:
 
             params, frozen = shard_params(self.model, params, frozen, self.mesh)
         elif self.cfg.train_path == "packed":
-            from fashionvisualexpl_tpu.train import packed as P
+            from fashionvisualexpl_tpu.train.packed_generic import (
+                GenericPackedTrainState, pack_generic_state,
+            )
 
-            model = self.model
-            if model.name == "bprmf":
-                return (
-                    P.PackedTrainState(
-                        P.pack_bprmf_state(params), "bprmf", model.embed_k, 0
-                    ),
-                    frozen,
-                )
-            if model.name == "vbpr":
-                return (
-                    P.PackedTrainState(
-                        P.pack_vbpr_state(params), "vbpr",
-                        model.embed_k, model.embed_d,
-                    ),
-                    frozen,
-                )
-            if model.name == "grad_fashion":
-                return (
-                    P.PackedTrainState(
-                        P.pack_grad_fashion_state(params), "grad_fashion",
-                        model.embed_k, model.embed_d,
-                    ),
-                    frozen,
-                )
-            raise NotImplementedError(model.name)
+            return (
+                GenericPackedTrainState(
+                    pack_generic_state(self.model, params),
+                    self.model.packed_spec(),
+                ),
+                frozen,
+            )
         return create_train_state(params, self.tx), frozen
 
     def run_epoch(

@@ -57,6 +57,11 @@ def main():
                     default="bprmf",
                     help="vbpr/grad_fashion require --packed (the fastest "
                          "path; their generic numbers are in SPEED.md)")
+    ap.add_argument("--packed_engine", choices=["specialized", "generic"],
+                    default="generic",
+                    help="generic = train/packed_generic.py (the Trainer's "
+                         "shipping path); specialized = the hand-written "
+                         "per-model steps in train/packed.py")
     ap.add_argument("--dim_f", type=int, default=64,
                     help="frozen feature dim (per family for grad_fashion)")
     args = ap.parse_args()
@@ -103,7 +108,21 @@ def main():
 
     steps, batch = args.steps, args.batch
 
-    if args.packed and args.model == "vbpr":
+    if args.packed and args.packed_engine == "generic":
+        from fashionvisualexpl_tpu.train.packed_generic import (
+            make_generic_packed_epoch_fn, pack_generic_state,
+            unpack_generic_params,
+        )
+
+        state = pack_generic_state(model, params)
+        epoch_fn = make_generic_packed_epoch_fn(
+            model, 0.001, 0.001, args.items, steps, batch,
+            with_replacement=args.bootstrap,
+        )
+
+        def run(state, key):
+            return epoch_fn(state, frozen, key, pairs_d, pos_d, cnt_d)
+    elif args.packed and args.model == "vbpr":
         from fashionvisualexpl_tpu.train.packed import (
             make_packed_vbpr_epoch_fn, pack_vbpr_state,
         )
@@ -187,12 +206,24 @@ def main():
     state, loss = run(state, key)
     print(f"compile+first: {time.time() - t0:.1f}s loss={float(loss):.1f}",
           flush=True)
-    t0 = time.time()
-    state, loss = run(state, jax.random.fold_in(key, 1))
-    float(loss)
-    train_elapsed = time.time() - t0
-    tps = steps * batch / train_elapsed
-    print(f"train: {tps:,.0f} triples/s ({train_elapsed:.2f}s for "
+    # layout settle can take MORE than one post-compile epoch on this
+    # platform; warm until two consecutive runs agree within 20%, then
+    # report the best measured run (per-epoch prints show the variance)
+    tps = 0.0
+    prev = None
+    for it in range(2, 6):
+        t0 = time.time()
+        state, loss = run(state, jax.random.fold_in(key, it))
+        float(loss)
+        train_elapsed = time.time() - t0
+        cur = steps * batch / train_elapsed
+        print(f"  epoch {it}: {cur:,.0f} triples/s ({train_elapsed:.2f}s)",
+              flush=True)
+        tps = max(tps, cur)
+        if prev is not None and abs(cur - prev) / max(cur, prev) < 0.2:
+            break
+        prev = cur
+    print(f"train: {tps:,.0f} triples/s (best of settled runs, "
           f"{steps}x{batch})", flush=True)
 
     if args.model != "bprmf":
@@ -211,7 +242,14 @@ def main():
     if args.packed:
         from types import SimpleNamespace
 
-        state = SimpleNamespace(params=unpack_bprmf_params(state, args.embed_k))
+        if args.packed_engine == "generic":
+            state = SimpleNamespace(
+                params=unpack_generic_params(state, model.packed_spec())
+            )
+        else:
+            state = SimpleNamespace(
+                params=unpack_bprmf_params(state, args.embed_k)
+            )
     uf = state.params["Gu"][:Bu]
     ref_scores = jnp.zeros((Bu, 1), jnp.float32)
 

@@ -375,6 +375,233 @@ def make_packed_spmd_epoch_fn(
     return epoch
 
 
+def _packed_forward_take_cols(pmv_shard, ids, emb_cols, scalar_cols,
+                              axis_name=MODEL_AXIS):
+    """Collective forward lookup against a row-sharded packed table: gather
+    the parameter columns (a [0:emb_cols) block plus arbitrary scalar
+    columns) and psum ONLY those — the m/v columns never ride the ICI."""
+    shard = jax.lax.axis_index(axis_name)
+    rows = pmv_shard.shape[0]
+    local = ids - shard * rows
+    ok = jnp.logical_and(local >= 0, local < rows)
+    rows_v = jnp.take(pmv_shard, jnp.where(ok, local, 0), axis=0)
+    parts = [jnp.where(ok[:, None], rows_v[:, :emb_cols], 0.0)]
+    for c in scalar_cols:
+        parts.append(jnp.where(ok, rows_v[:, c], 0.0)[:, None])
+    out = jax.lax.psum(jnp.concatenate(parts, axis=1), axis_name)
+    return out[:, :emb_cols], out[:, emb_cols:]
+
+
+def make_generic_packed_spmd_epoch_fn(
+    model,
+    mesh: Mesh,
+    lr: float,
+    reg: float,
+    num_items: int,
+    steps: int,
+    batch: int,
+    with_replacement: bool = False,
+) -> Callable:
+    """Sharded epoch for the GENERIC packed engine (train/packed_generic.py):
+    any model implementing packed_spec/packed_loss runs its packed-row +
+    LazyAdam fast path over the mesh — rows sharded over `model`, batch over
+    `data`, dense params (projections / CNN towers / attention) replicated
+    with data-psum'd grads.
+
+    Collectives per step: parameter-column lookup psums over `model`,
+    row-grad + dense-grad reductions over `data`; the row optimizer applies
+    strictly locally (each shard updates only the rows it owns)."""
+    from fashionvisualexpl_tpu.parallel.spmd import (
+        collective_take, param_spec_tree,
+    )
+    from fashionvisualexpl_tpu.train.fast import dense_adam
+    from fashionvisualexpl_tpu.train.packed import _lazy_rows  # noqa: F401
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        GenericPackedState, _offsets,
+    )
+
+    spec = model.packed_spec()
+    u_offs, Wu = _offsets(spec.user_tables)
+    i_offs, Wi = _offsets(spec.item_tables)
+    nS = len(spec.item_scalars)
+    scalar_cols = [3 * Wi + 3 * j for j in range(nS)]
+    item_groups = [(0, 0, Wi)] + [
+        (3 * Wi + 3 * j, Wi + j, 1) for j in range(nS)
+    ]
+
+    d_size = mesh.shape[DATA_AXIS]
+    if batch % d_size != 0:
+        raise ValueError(f"batch {batch} not divisible by data axis {d_size}")
+    take = collective_take(tuple(model.row_sharded_params()))
+
+    def local_step(state: "GenericPackedState", frozen, u, p_ids, n_ids, rng):
+        b = u.shape[0]
+        ii = jnp.concatenate([p_ids, n_ids])
+        UR = _packed_forward_take(state.user_pmv, u, Wu)
+        IRe, IRs = _packed_forward_take_cols(
+            state.item_pmv, ii, Wi, scalar_cols
+        )
+        user_vw = {n: UR[:, off:off + w] for n, off, w in u_offs}
+        pos_vw = {n: IRe[:b, off:off + w] for n, off, w in i_offs}
+        neg_vw = {n: IRe[b:, off:off + w] for n, off, w in i_offs}
+        for j, s in enumerate(spec.item_scalars):
+            pos_vw[s] = IRs[:b, j]
+            neg_vw[s] = IRs[b:, j]
+        dense_p = {name: state.dense[name][0] for name in spec.dense}
+        # distinct dropout per data shard, identical across model shards
+        # (dense grads must stay replicated over `model`)
+        rng_l = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def local_loss(user_vw, pos_vw, neg_vw, dense_p):
+            old_take = model.take
+            old_scale = model.global_reg_scale
+            model.take = take
+            model.global_reg_scale = 1.0 / d_size
+            try:
+                return model.packed_loss(
+                    user_vw, pos_vw, neg_vw, dense_p, frozen,
+                    (u, p_ids, n_ids), reg, rng_l,
+                )
+            finally:
+                model.take = old_take
+                model.global_reg_scale = old_scale
+
+        loss, (gU, gP, gN, gD) = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2, 3)
+        )(user_vw, pos_vw, neg_vw, dense_p)
+        loss = jax.lax.psum(loss, DATA_AXIS)
+
+        def gather_all(x):
+            g = jax.lax.all_gather(x, DATA_AXIS)
+            return g.reshape((-1,) + g.shape[2:])
+
+        u_all = gather_all(u)
+        ii_all = gather_all(ii)
+        gu_all = gather_all(
+            jnp.concatenate([gU[n] for n, _, _ in u_offs], axis=1)
+        )
+        gi_parts = [
+            jnp.concatenate([gP[n], gN[n]], axis=0) for n, _, _ in i_offs
+        ]
+        for s in spec.item_scalars:
+            gi_parts.append(jnp.concatenate([gP[s], gN[s]])[:, None])
+        gi_all = gather_all(jnp.concatenate(gi_parts, axis=1))
+
+        t = (state.step + 1).astype(jnp.float32)
+        B = u_all.shape[0]
+        uids, cg = compact_row_grads(u_all, gu_all, B)
+        user_pmv, tau_u = _sharded_packed_lazy_apply(
+            state.user_pmv, state.tau_u, uids, cg, lr, t, [(0, 0, Wu)]
+        )
+        iids, cgi = compact_row_grads(ii_all, gi_all, 2 * B)
+        item_pmv, tau_i = _sharded_packed_lazy_apply(
+            state.item_pmv, state.tau_i, iids, cgi, lr, t, item_groups
+        )
+
+        dense = {}
+        for name in spec.dense:
+            p, m, v = state.dense[name]
+            g = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, DATA_AXIS), gD[name]
+            )
+            flat_p, treedef = jax.tree_util.tree_flatten(p)
+            flat_m = jax.tree_util.tree_leaves(m)
+            flat_v = jax.tree_util.tree_leaves(v)
+            flat_g = jax.tree_util.tree_leaves(g)
+            outs = [
+                dense_adam(pl, ml, vl, gl, lr, t)
+                for pl, ml, vl, gl in zip(flat_p, flat_m, flat_v, flat_g)
+            ]
+            dense[name] = tuple(
+                jax.tree_util.tree_unflatten(treedef, [o[i] for o in outs])
+                for i in range(3)
+            )
+
+        return (
+            GenericPackedState(
+                state.step + 1, user_pmv, item_pmv, tau_u, tau_i, dense
+            ),
+            loss,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state, frozen, key, train_pairs, padded_pos, pos_counts):
+        dense_specs = {
+            name: jax.tree_util.tree_map(
+                lambda x: P(*([None] * x.ndim)), state.dense[name]
+            )
+            for name in spec.dense
+        }
+        state_specs = GenericPackedState(
+            step=P(),
+            user_pmv=P(MODEL_AXIS, None),
+            item_pmv=P(MODEL_AXIS, None),
+            tau_u=P(MODEL_AXIS),
+            tau_i=P(MODEL_AXIS),
+            dense=dense_specs,
+        )
+        fspecs = param_spec_tree(model, frozen)
+        batch_spec = P(DATA_AXIS)
+        sharded_step = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(state_specs, fspecs, batch_spec, batch_spec,
+                      batch_spec, P()),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+
+        sample_key, step_key = jax.random.split(key)
+        users, pos, neg = sample_triplets(
+            sample_key, train_pairs, padded_pos, pos_counts,
+            num_items, steps, batch, with_replacement=with_replacement,
+        )
+        step_keys = jax.random.split(step_key, steps)
+
+        def body(st, sb):
+            u, p, n, k = sb
+            return sharded_step(st, frozen, u, p, n, k)
+
+        state, losses = jax.lax.scan(
+            body, state, (users, pos, neg, step_keys)
+        )
+        return state, jnp.sum(losses)
+
+    return epoch
+
+
+def shard_generic_packed_state(state, mesh: Mesh):
+    """Place a GenericPackedState with rows sharded over `model` (padding
+    user/item rows to the axis multiple; pad rows are unreachable ids) and
+    dense params replicated."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from fashionvisualexpl_tpu.parallel.spmd import pad_rows_to_multiple
+    from fashionvisualexpl_tpu.train.packed_generic import GenericPackedState
+
+    m = mesh.shape[MODEL_AXIS]
+
+    def row_sharded(x):
+        arr = pad_rows_to_multiple(np.asarray(x), m)
+        spec = P(MODEL_AXIS, *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    def replicated(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(*([None] * x.ndim)))
+        )
+
+    return GenericPackedState(
+        step=jax.device_put(state.step, NamedSharding(mesh, P())),
+        user_pmv=row_sharded(state.user_pmv),
+        item_pmv=row_sharded(state.item_pmv),
+        tau_u=row_sharded(state.tau_u),
+        tau_i=row_sharded(state.tau_i),
+        dense=jax.tree_util.tree_map(replicated, state.dense),
+    )
+
+
 def shard_packed_state(state, mesh: Mesh):
     """Place a PackedLazyState row-sharded over `model` (rows must divide
     the model-axis size; pad upstream if needed)."""

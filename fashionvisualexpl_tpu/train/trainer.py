@@ -76,7 +76,23 @@ class Trainer:
         self._pos_counts = jnp.asarray(data.pos_counts)
 
         self._packed = None  # (pack_fn, unpack_fn) when the packed path is on
-        if self.mesh is not None:
+        if self.mesh is not None and cfg.train_path == "packed":
+            from fashionvisualexpl_tpu.parallel.fast_spmd import (
+                make_generic_packed_spmd_epoch_fn,
+            )
+
+            inner = make_generic_packed_spmd_epoch_fn(
+                model, self.mesh, cfg.lr, cfg.reg, data.num_items,
+                self.steps_per_epoch, cfg.batch_size,
+                with_replacement=cfg.bootstrap,
+            )
+
+            def packed_spmd_epoch(state, frozen, key, pairs, pos, cnt):
+                new, loss = inner(state.inner, frozen, key, pairs, pos, cnt)
+                return state.with_inner(new), loss
+
+            self._epoch_fn = packed_spmd_epoch
+        elif self.mesh is not None:
             from fashionvisualexpl_tpu.parallel.spmd import make_spmd_epoch_fn
 
             self._epoch_fn = make_spmd_epoch_fn(
@@ -157,6 +173,24 @@ class Trainer:
     def init_state(self, rng: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         params, frozen = self.model.init(rng)
+        if self.mesh is not None and self.cfg.train_path == "packed":
+            from fashionvisualexpl_tpu.parallel.fast_spmd import (
+                shard_generic_packed_state,
+            )
+            from fashionvisualexpl_tpu.parallel.spmd import shard_params
+            from fashionvisualexpl_tpu.train.packed_generic import (
+                GenericPackedTrainState, pack_generic_state,
+            )
+
+            packed = pack_generic_state(self.model, params)
+            _, frozen = shard_params(self.model, params, frozen, self.mesh)
+            return (
+                GenericPackedTrainState(
+                    shard_generic_packed_state(packed, self.mesh),
+                    self.model.packed_spec(),
+                ),
+                frozen,
+            )
         if self.mesh is not None:
             from fashionvisualexpl_tpu.parallel.spmd import shard_params
 

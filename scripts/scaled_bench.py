@@ -53,10 +53,15 @@ def main():
                          "one row per id, LazyAdam semantics — the fastest "
                          "single-chip path at this scale")
     ap.add_argument("--eval_users", type=int, default=4096)
-    ap.add_argument("--model", choices=["bprmf", "vbpr", "grad_fashion"],
+    ap.add_argument("--model",
+                    choices=["bprmf", "vbpr", "grad_fashion",
+                             "attentive_fashion", "comp_vbpr"],
                     default="bprmf",
-                    help="vbpr/grad_fashion require --packed (the fastest "
+                    help="non-bprmf models require --packed (the fastest "
                          "path; their generic numbers are in SPEED.md)")
+    ap.add_argument("--img_hw", type=int, default=32,
+                    help="edge-image side for the encoder models "
+                         "(attentive_fashion / comp_vbpr)")
     ap.add_argument("--packed_engine", choices=["specialized", "generic"],
                     default="generic",
                     help="generic = train/packed_generic.py (the Trainer's "
@@ -91,7 +96,7 @@ def main():
         feats = synthetic_features(args.items, args.dim_f, seed=1)
         model = VBPR(args.users, args.items, feats,
                      embed_k=args.embed_k, embed_d=20)
-    else:
+    elif args.model == "grad_fashion":
         from fashionvisualexpl_tpu.data.features import synthetic_features
         from fashionvisualexpl_tpu.models.grad_fashion import GradFashion
 
@@ -99,6 +104,39 @@ def main():
         edges = synthetic_features(args.items, args.dim_f, seed=2)
         model = GradFashion(args.users, args.items, color, edges,
                             embed_k=args.embed_k, embed_d=20)
+    elif args.model == "attentive_fashion":
+        from fashionvisualexpl_tpu.data.features import synthetic_features
+        from fashionvisualexpl_tpu.models.attentive_fashion import (
+            AttentiveFashion,
+        )
+
+        hw = args.img_hw
+        imgs = np.random.default_rng(2).random(
+            (args.items, hw, hw, 1), dtype=np.float32
+        )
+        model = AttentiveFashion(
+            args.users, args.items,
+            color_features=synthetic_features(args.items, 512, seed=1),
+            edge_images=imgs,
+            class_features=synthetic_features(args.items, 100, seed=3),
+            embed_k=args.embed_k,
+        )
+    else:  # comp_vbpr, all four families active
+        from fashionvisualexpl_tpu.data.features import synthetic_features
+        from fashionvisualexpl_tpu.models.comp_vbpr import CompVBPR
+
+        hw = args.img_hw
+        imgs = np.random.default_rng(2).random(
+            (args.items, hw, hw, 1), dtype=np.float32
+        )
+        model = CompVBPR(
+            args.users, args.items,
+            semantic_features=synthetic_features(args.items, args.dim_f, seed=1),
+            color_features=synthetic_features(args.items, 512, seed=3),
+            edge_images=imgs,
+            texture_features=synthetic_features(args.items, args.dim_f, seed=4),
+            embed_k=args.embed_k, embed_d=20,
+        )
     params, frozen = model.init(jax.random.PRNGKey(0))
     print("state built", flush=True)
 

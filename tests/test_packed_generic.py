@@ -264,3 +264,33 @@ def test_fit_packed_comp_vbpr_and_attentive():
         s = model.score(state.params, frozen, jnp.asarray([0, 1]),
                         jnp.asarray([2, 3]))
         assert s.shape == (2,)
+
+
+def test_generic_packed_checkpoint_roundtrip(tmp_path):
+    from fashionvisualexpl_tpu.core.checkpoint import CheckpointManager
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        GenericPackedTrainState,
+    )
+
+    model = BPRMF(10, 12, embed_k=4)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    spec = model.packed_spec()
+    state = GenericPackedTrainState(pack_generic_state(model, params), spec)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, state)
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    template = GenericPackedTrainState(
+        pack_generic_state(
+            model, {k: jnp.zeros_like(v) for k, v in params.items()}
+        ),
+        spec,
+    )
+    restored = mgr2.restore(template)
+    assert int(mgr2.latest_step()) == 3
+    for k in ("Gu", "Gi", "Bi"):
+        np.testing.assert_array_equal(
+            np.asarray(restored.params[k]), np.asarray(state.params[k]), k
+        )

@@ -77,6 +77,7 @@ class ACF(RecommenderModel):
         self.embed_k = embed_k
         self.layers_component = tuple(layers_component)
         self.layers_item = tuple(layers_item)
+        self.max_user_pos = int(max_user_pos)
         self.S = int(spatial_features.shape[1])
         self.C = int(spatial_features.shape[2])
         self._spatial = np.asarray(spatial_features, np.float32)
@@ -144,18 +145,11 @@ class ACF(RecommenderModel):
 
     # --- the two-level attentive user profile (ACF.py:135-181) ---
 
-    def user_profile(self, params, frozen, users, train_only=True):
-        """gamma_u + sum_p alpha_p p_i over the user's positives.  [B, K]."""
-        pos_key = "pos_train" if train_only else "pos_eval"
-        cnt_key = "cnt_train" if train_only else "cnt_eval"
-        # self.take routes through the collective lookup for the row-sharded
-        # tables under SPMD (frozen positives/spatial maps stay replicated)
-        pos = jnp.take(frozen[pos_key], users, axis=0)  # [B, P]
-        cnt = jnp.take(frozen[cnt_key], users)  # [B]
-        g_u = self.take("Gu", params["Gu"], users)  # [B, K]
-        f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
-
-        comp = params["comp"]
+    def _attentive_profile(self, comp, item, g_u, f, g_i, p_i, cnt):
+        """The two-level attention math over pre-gathered inputs:
+        g_u [B, K], f [B, P, S, C], g_i/p_i [B, P, K], cnt [B].  Shared by
+        the generic path (user_profile) and the packed fast path
+        (packed_loss), so the semantics cannot drift."""
         # component attention: softmax over the spatial axis S (ACF.py:152-162)
         b = (
             (g_u @ comp["W0_u"])[:, None, None, :]
@@ -168,14 +162,6 @@ class ACF(RecommenderModel):
         beta = jax.nn.softmax(b[..., 0], axis=2)  # [B, P, S]
         x_l = jnp.einsum("bps,bpsc->bpc", beta, f)  # [B, P, C]
 
-        item = params["item"]
-        B_, P_ = pos.shape
-        g_i = self.take("Gi", params["Gi"], pos.reshape(-1)).reshape(
-            B_, P_, -1
-        )  # [B, P, K]
-        p_i = self.take("Pi", params["Pi"], pos.reshape(-1)).reshape(
-            B_, P_, -1
-        )  # [B, P, K]
         a = (
             (g_u @ item["W0_u"])[:, None, :]
             + g_i @ item["W0_iv"]
@@ -195,6 +181,27 @@ class ACF(RecommenderModel):
         # users with zero positives keep their plain embedding
         profile = jnp.where(cnt[:, None] > 0, profile, 0.0)
         return g_u + profile
+
+    def user_profile(self, params, frozen, users, train_only=True):
+        """gamma_u + sum_p alpha_p p_i over the user's positives.  [B, K]."""
+        pos_key = "pos_train" if train_only else "pos_eval"
+        cnt_key = "cnt_train" if train_only else "cnt_eval"
+        # self.take routes through the collective lookup for the row-sharded
+        # tables under SPMD (frozen positives/spatial maps stay replicated)
+        pos = jnp.take(frozen[pos_key], users, axis=0)  # [B, P]
+        cnt = jnp.take(frozen[cnt_key], users)  # [B]
+        g_u = self.take("Gu", params["Gu"], users)  # [B, K]
+        f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
+        B_, P_ = pos.shape
+        g_i = self.take("Gi", params["Gi"], pos.reshape(-1)).reshape(
+            B_, P_, -1
+        )  # [B, P, K]
+        p_i = self.take("Pi", params["Pi"], pos.reshape(-1)).reshape(
+            B_, P_, -1
+        )  # [B, P, K]
+        return self._attentive_profile(
+            params["comp"], params["item"], g_u, f, g_i, p_i, cnt
+        )
 
     # --- scoring / training ---
 
@@ -217,6 +224,63 @@ class ACF(RecommenderModel):
 
         att_l2 = sum(l2_loss(v) for v in params["comp"].values()) + sum(
             l2_loss(v) for v in params["item"].values()
+        )
+        # ACF.py:247-256 — batch embeddings + ALL attention matrices
+        reg_loss = (
+            reg
+            * (
+                l2_loss(gamma_u)
+                + l2_loss(gamma_pos)
+                + l2_loss(gamma_neg)
+                + l2_loss(p_pos)
+                + l2_loss(p_neg)
+            )
+            * 2.0
+            + self.global_reg_scale * reg * att_l2 * 2.0
+        )
+        return loss + reg_loss
+
+    # --- packed fast path (train/packed_generic.py) ---
+
+    def packed_spec(self):
+        from fashionvisualexpl_tpu.models.base import PackedSpec
+
+        # the attentive profile reads Gi/Pi rows of each user's padded
+        # positive set (ACF.py:164-179) beyond the batch pos/neg rows —
+        # declared via extra_items so the engine gathers them and routes
+        # their grads through the shared item-row dedupe
+        return PackedSpec(
+            user_tables=(("Gu", self.embed_k),),
+            item_tables=(("Gi", self.embed_k), ("Pi", self.embed_k)),
+            item_scalars=(),
+            dense=("comp", "item"),
+            extra_items=self.max_user_pos,
+        )
+
+    def packed_extra_item_ids(self, frozen, ids):
+        # padded slots point at row 0; _attentive_profile masks them out of
+        # the item-level softmax, so their gradient contribution is zero
+        return jnp.take(frozen["pos_train"], ids[0], axis=0)  # [B, P]
+
+    def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
+                    reg, rng=None, extra_vw=None):
+        users = ids[0]
+        pos = jnp.take(frozen["pos_train"], users, axis=0)  # [B, P]
+        cnt = jnp.take(frozen["cnt_train"], users)  # [B]
+        f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
+        gamma_u = user_vw["Gu"]
+        g_u_p = self._attentive_profile(
+            dense["comp"], dense["item"], gamma_u, f,
+            extra_vw["Gi"], extra_vw["Pi"], cnt,
+        )
+        gamma_pos, gamma_neg = pos_vw["Gi"], neg_vw["Gi"]
+        p_pos, p_neg = pos_vw["Pi"], neg_vw["Pi"]
+        x_pos = jnp.sum(g_u_p * gamma_pos, axis=1)
+        x_neg = jnp.sum(g_u_p * gamma_neg, axis=1)
+        loss = bpr_pairwise_loss(x_pos, x_neg)
+
+        att_l2 = sum(l2_loss(v) for v in dense["comp"].values()) + sum(
+            l2_loss(v) for v in dense["item"].values()
         )
         # ACF.py:247-256 — batch embeddings + ALL attention matrices
         reg_loss = (

@@ -28,12 +28,19 @@ class PackedSpec(NamedTuple):
     """How a model's params map onto the packed-row fast path
     (train/packed_generic.py): user/item row tables (name, width), item
     scalars folded into the item rows, and dense-Adam params (arrays or
-    whole pytrees such as a CNN tower)."""
+    whole pytrees such as a CNN tower).
+
+    ``extra_items`` > 0 declares that the loss additionally reads E item
+    rows PER BATCH ELEMENT beyond the pos/neg rows (ACF's attentive profile
+    over each user's positive set, reference ACF.py:164-179); the engine
+    gathers them from ``packed_extra_item_ids`` and routes their gradients
+    into the same item-row dedupe/scatter."""
 
     user_tables: Tuple[Tuple[str, int], ...]
     item_tables: Tuple[Tuple[str, int], ...]
     item_scalars: Tuple[str, ...]
     dense: Tuple[str, ...]
+    extra_items: int = 0
 
 
 def l2_loss(x: jax.Array) -> jax.Array:
@@ -117,12 +124,21 @@ class RecommenderModel:
         )
 
     def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
-                    reg, rng):
+                    reg, rng, extra_vw=None):
         """`loss` over pre-gathered row views: user_vw/pos_vw/neg_vw map
         table names to [B, width] (scalars to [B]) slices of the packed
         rows; `dense` maps dense param names to values; `frozen` is the
         whole frozen pytree and `ids=(users, pos, neg)` lets the model
-        gather from it.  Must mirror `loss` semantics exactly."""
+        gather from it.  When the spec declares ``extra_items``, `extra_vw`
+        maps item-table names to [B, E, width] (scalars to [B, E]) views of
+        the extra gathered rows.  Must mirror `loss` semantics exactly."""
+        raise NotImplementedError
+
+    def packed_extra_item_ids(self, frozen, ids):
+        """[B, extra_items] int32 item ids the loss reads beyond pos/neg
+        (only called when packed_spec().extra_items > 0).  Padded slots must
+        point at valid rows whose gradient contribution is exactly zero
+        (e.g. masked out of a softmax)."""
         raise NotImplementedError
 
     def precompute_eval(self, params, frozen):

@@ -424,6 +424,7 @@ def make_generic_packed_spmd_epoch_fn(
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
     nS = len(spec.item_scalars)
+    E = spec.extra_items
     scalar_cols = [3 * Wi + 3 * j for j in range(nS)]
     item_groups = [(0, 0, Wi)] + [
         (3 * Wi + 3 * j, Wi + j, 1) for j in range(nS)
@@ -436,10 +437,9 @@ def make_generic_packed_spmd_epoch_fn(
 
     def local_step(state: "GenericPackedState", frozen, u, p_ids, n_ids, rng):
         b = u.shape[0]
-        ii = jnp.concatenate([p_ids, n_ids])
         UR = _packed_forward_take(state.user_pmv, u, Wu)
         IRe, IRs = _packed_forward_take_cols(
-            state.item_pmv, ii, Wi, scalar_cols
+            state.item_pmv, jnp.concatenate([p_ids, n_ids]), Wi, scalar_cols
         )
         user_vw = {n: UR[:, off:off + w] for n, off, w in u_offs}
         pos_vw = {n: IRe[:b, off:off + w] for n, off, w in i_offs}
@@ -452,23 +452,51 @@ def make_generic_packed_spmd_epoch_fn(
         # (dense grads must stay replicated over `model`)
         rng_l = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
 
-        def local_loss(user_vw, pos_vw, neg_vw, dense_p):
+        if E:
+            # extra item rows (ACF's user-positive sets): collective gather
+            # of the parameter columns, grads join the item dedupe below
+            xids = model.packed_extra_item_ids(
+                frozen, (u, p_ids, n_ids)
+            ).reshape(-1)  # [b*E]
+            XRe, XRs = _packed_forward_take_cols(
+                state.item_pmv, xids, Wi, scalar_cols
+            )
+            extra_vw = {
+                n: XRe[:, off:off + w].reshape(b, E, w)
+                for n, off, w in i_offs
+            }
+            for j, s in enumerate(spec.item_scalars):
+                extra_vw[s] = XRs[:, j].reshape(b, E)
+            ii = jnp.concatenate([p_ids, n_ids, xids])
+        else:
+            extra_vw = None
+            ii = jnp.concatenate([p_ids, n_ids])
+
+        def run_packed_loss(user_vw, pos_vw, neg_vw, extra_vw, dense_p):
             old_take = model.take
             old_scale = model.global_reg_scale
             model.take = take
             model.global_reg_scale = 1.0 / d_size
             try:
+                kw = {"extra_vw": extra_vw} if E else {}
                 return model.packed_loss(
                     user_vw, pos_vw, neg_vw, dense_p, frozen,
-                    (u, p_ids, n_ids), reg, rng_l,
+                    (u, p_ids, n_ids), reg, rng_l, **kw,
                 )
             finally:
                 model.take = old_take
                 model.global_reg_scale = old_scale
 
-        loss, (gU, gP, gN, gD) = jax.value_and_grad(
-            local_loss, argnums=(0, 1, 2, 3)
-        )(user_vw, pos_vw, neg_vw, dense_p)
+        if E:
+            loss, (gU, gP, gN, gX, gD) = jax.value_and_grad(
+                run_packed_loss, argnums=(0, 1, 2, 3, 4)
+            )(user_vw, pos_vw, neg_vw, extra_vw, dense_p)
+        else:
+            loss, (gU, gP, gN, gD) = jax.value_and_grad(
+                lambda uv, pv, nv, dp: run_packed_loss(uv, pv, nv, None, dp),
+                argnums=(0, 1, 2, 3),
+            )(user_vw, pos_vw, neg_vw, dense_p)
+            gX = None
         loss = jax.lax.psum(loss, DATA_AXIS)
 
         def gather_all(x):
@@ -481,10 +509,18 @@ def make_generic_packed_spmd_epoch_fn(
             jnp.concatenate([gU[n] for n, _, _ in u_offs], axis=1)
         )
         gi_parts = [
-            jnp.concatenate([gP[n], gN[n]], axis=0) for n, _, _ in i_offs
+            jnp.concatenate(
+                [gP[n], gN[n]] + ([gX[n].reshape(b * E, w)] if E else []),
+                axis=0,
+            )
+            for n, _, w in i_offs
         ]
         for s in spec.item_scalars:
-            gi_parts.append(jnp.concatenate([gP[s], gN[s]])[:, None])
+            gi_parts.append(
+                jnp.concatenate(
+                    [gP[s], gN[s]] + ([gX[s].reshape(b * E)] if E else [])
+                )[:, None]
+            )
         gi_all = gather_all(jnp.concatenate(gi_parts, axis=1))
 
         t = (state.step + 1).astype(jnp.float32)
@@ -493,7 +529,7 @@ def make_generic_packed_spmd_epoch_fn(
         user_pmv, tau_u = _sharded_packed_lazy_apply(
             state.user_pmv, state.tau_u, uids, cg, lr, t, [(0, 0, Wu)]
         )
-        iids, cgi = compact_row_grads(ii_all, gi_all, 2 * B)
+        iids, cgi = compact_row_grads(ii_all, gi_all, (2 + E) * B)
         item_pmv, tau_i = _sharded_packed_lazy_apply(
             state.item_pmv, state.tau_i, iids, cgi, lr, t, item_groups
         )

@@ -79,7 +79,13 @@ def param_spec_tree(model: RecommenderModel, tree: Dict[str, Any]):
             return P(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
         return P(*([None] * leaf.ndim))
 
-    return {k: spec_for(k, v) for k, v in tree.items()}
+    def spec_rec(name, node):
+        # nested subtrees (attention/encoder towers) are always replicated
+        if isinstance(node, dict):
+            return {k: spec_rec(k, v) for k, v in node.items()}
+        return spec_for(name, node)
+
+    return {k: spec_rec(k, v) for k, v in tree.items()}
 
 
 def shard_params(model, params, frozen, mesh: Mesh):
@@ -92,6 +98,14 @@ def shard_params(model, params, frozen, mesh: Mesh):
         out = {}
         specs = param_spec_tree(model, tree)
         for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = jax.tree_util.tree_map(
+                    lambda a, s: jax.device_put(
+                        np.asarray(a), NamedSharding(mesh, s)
+                    ),
+                    v, specs[k],
+                )
+                continue
             arr = np.asarray(v)
             if k in sharded:
                 arr = pad_rows_to_multiple(arr, m)

@@ -36,17 +36,19 @@ import jax
 import jax.numpy as jnp
 
 from fashionvisualexpl_tpu.data.sampler import sample_triplets
+from fashionvisualexpl_tpu.models.base import PackedSpec
 from fashionvisualexpl_tpu.train.fast import compact_row_grads, dense_adam
 from fashionvisualexpl_tpu.train.packed import _lazy_rows
 
-
-class PackedSpec(NamedTuple):
-    """Hashable description of how a model's params map onto packed rows."""
-
-    user_tables: Tuple[Tuple[str, int], ...]  # (param name, width)
-    item_tables: Tuple[Tuple[str, int], ...]
-    item_scalars: Tuple[str, ...]  # [I]-shaped params folded into item rows
-    dense: Tuple[str, ...]  # dense-Adam params (arrays or pytrees)
+__all__ = [
+    "PackedSpec",
+    "GenericPackedState",
+    "pack_generic_state",
+    "unpack_generic_params",
+    "make_generic_packed_step",
+    "make_generic_packed_epoch_fn",
+    "GenericPackedTrainState",
+]
 
 
 class GenericPackedState(NamedTuple):
@@ -117,14 +119,16 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
     nS = len(spec.item_scalars)
+    E = spec.extra_items
 
     def step(state: GenericPackedState, batch):
         frozen, (u, p_ids, n_ids), rng = batch
         B = u.shape[0]
-        ii = jnp.concatenate([p_ids, n_ids])
 
         UR = jnp.take(state.user_pmv, u, axis=0)  # [B, 3Wu]
-        IR = jnp.take(state.item_pmv, ii, axis=0)  # [2B, 3Wi+3nS]
+        IR = jnp.take(
+            state.item_pmv, jnp.concatenate([p_ids, n_ids]), axis=0
+        )  # [2B, 3Wi+3nS]
 
         user_vw = {n: UR[:, off:off + w] for n, off, w in u_offs}
         pos_vw = {n: IR[:B, off:off + w] for n, off, w in i_offs}
@@ -135,15 +139,43 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
             neg_vw[s] = IR[B:, col]
         dense_p = {name: state.dense[name][0] for name in spec.dense}
 
-        def local_loss(user_vw, pos_vw, neg_vw, dense_p):
-            return model.packed_loss(
-                user_vw, pos_vw, neg_vw, dense_p, frozen,
-                (u, p_ids, n_ids), reg, rng,
-            )
+        # extra per-batch-element item rows (ACF's user-positive sets):
+        # gathered here, differentiated alongside pos/neg, scattered back
+        # through the same item dedupe below
+        if E:
+            xids = model.packed_extra_item_ids(
+                frozen, (u, p_ids, n_ids)
+            ).reshape(-1)  # [B*E]
+            XR = jnp.take(state.item_pmv, xids, axis=0)  # [B*E, 3Wi+3nS]
+            extra_vw = {
+                n: XR[:, off:off + w].reshape(B, E, w)
+                for n, off, w in i_offs
+            }
+            for j, s in enumerate(spec.item_scalars):
+                extra_vw[s] = XR[:, 3 * Wi + 3 * j].reshape(B, E)
 
-        loss, (gU, gP, gN, gD) = jax.value_and_grad(
-            local_loss, argnums=(0, 1, 2, 3)
-        )(user_vw, pos_vw, neg_vw, dense_p)
+            def local_loss(user_vw, pos_vw, neg_vw, extra_vw, dense_p):
+                return model.packed_loss(
+                    user_vw, pos_vw, neg_vw, dense_p, frozen,
+                    (u, p_ids, n_ids), reg, rng, extra_vw=extra_vw,
+                )
+
+            loss, (gU, gP, gN, gX, gD) = jax.value_and_grad(
+                local_loss, argnums=(0, 1, 2, 3, 4)
+            )(user_vw, pos_vw, neg_vw, extra_vw, dense_p)
+            ii = jnp.concatenate([p_ids, n_ids, xids])
+        else:
+            def local_loss(user_vw, pos_vw, neg_vw, dense_p):
+                return model.packed_loss(
+                    user_vw, pos_vw, neg_vw, dense_p, frozen,
+                    (u, p_ids, n_ids), reg, rng,
+                )
+
+            loss, (gU, gP, gN, gD) = jax.value_and_grad(
+                local_loss, argnums=(0, 1, 2, 3)
+            )(user_vw, pos_vw, neg_vw, dense_p)
+            gX = None
+            ii = jnp.concatenate([p_ids, n_ids])
         t = (state.step + 1).astype(jnp.float32)
 
         # --- users: all user tables share one packed row and one dedupe ---
@@ -158,14 +190,23 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
             t.astype(jnp.int32), unique_indices=True
         )
 
-        # --- items: vector tables + scalars share one dedupe ---
+        # --- items: vector tables + scalars (+ extra rows) share one dedupe ---
         gi_parts = [
-            jnp.concatenate([gP[n], gN[n]], axis=0) for n, _, _ in i_offs
+            jnp.concatenate(
+                [gP[n], gN[n]]
+                + ([gX[n].reshape(B * E, w)] if E else []),
+                axis=0,
+            )
+            for n, _, w in i_offs
         ]
         for s in spec.item_scalars:
-            gi_parts.append(jnp.concatenate([gP[s], gN[s]])[:, None])
+            gi_parts.append(
+                jnp.concatenate(
+                    [gP[s], gN[s]] + ([gX[s].reshape(B * E)] if E else [])
+                )[:, None]
+            )
         iids, cgi = compact_row_grads(
-            ii, jnp.concatenate(gi_parts, axis=1), 2 * B
+            ii, jnp.concatenate(gi_parts, axis=1), 2 * B + B * E
         )
         rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, 3Wi+3nS]
         dt = (t - state.tau_i[iids].astype(jnp.float32))[:, None]

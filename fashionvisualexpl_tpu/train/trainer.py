@@ -144,8 +144,8 @@ class Trainer:
         same epoch-fn interface; state is a GenericPackedTrainState whose
         `.params` property materializes the standard dict for
         eval/checkpoint.  Works for any model implementing
-        packed_spec/packed_loss (bprmf, vbpr, grad_fashion, comp_vbpr,
-        attentive_fashion)."""
+        packed_spec/packed_loss (all six registered models: bprmf, vbpr,
+        grad_fashion, comp_vbpr, attentive_fashion, acf)."""
         from fashionvisualexpl_tpu.train.packed_generic import (
             make_generic_packed_epoch_fn,
         )

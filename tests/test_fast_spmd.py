@@ -176,6 +176,77 @@ def test_generic_packed_spmd_matches_single_device():
     )
 
 
+def test_generic_packed_spmd_acf_matches_single_device():
+    """Sharded generic packed engine == single-device engine for ACF — the
+    extra-item-rows path (attentive profile over each user's positive set)
+    must survive the collective gather + shared item dedupe."""
+    from fashionvisualexpl_tpu.models.acf import ACF
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_generic_packed_spmd_epoch_fn, shard_generic_packed_state,
+    )
+    from fashionvisualexpl_tpu.parallel.spmd import shard_params
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        make_generic_packed_epoch_fn, pack_generic_state,
+        unpack_generic_params,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    spat = np.asarray(
+        np.random.default_rng(7).normal(size=(30, 3, 5)), np.float32
+    )
+    model = ACF(24, 30, spat, data, embed_k=8,
+                layers_component=(4, 1), layers_item=(4, 1), max_user_pos=5)
+    lr, reg, batch = 0.01, 0.01, 16
+    steps = data.steps_per_epoch(batch)
+    args = (
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+    )
+    key = jax.random.PRNGKey(0)
+    params, frozen = model.init(jax.random.PRNGKey(1))
+
+    s1 = pack_generic_state(model, params)
+    ep1 = make_generic_packed_epoch_fn(
+        model, lr, reg, data.num_items, steps, batch, with_replacement=False
+    )
+    _, frozen_sh = shard_params(model, params, frozen, mesh)
+    s8 = shard_generic_packed_state(pack_generic_state(model, params), mesh)
+    ep8 = make_generic_packed_spmd_epoch_fn(
+        model, mesh, lr, reg, data.num_items, steps, batch
+    )
+
+    for e in range(3):
+        k = jax.random.fold_in(key, e)
+        s1, l1 = ep1(s1, frozen, k, *args)
+        s8, l8 = ep8(s8, frozen_sh, k, *args)
+        np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4)
+
+    spec = model.packed_spec()
+    p1 = unpack_generic_params(s1, spec)
+    p8 = unpack_generic_params(s8, spec)
+    for name in ("Gu", "Gi", "Pi"):
+        got = np.asarray(p8[name])
+        want = np.asarray(p1[name])
+        got = got[: want.shape[0]]  # drop pad rows on item tables
+        np.testing.assert_allclose(
+            got, want, rtol=3e-4, atol=1e-5, err_msg=name,
+        )
+    for sub in ("comp", "item"):
+        for k_, v in p1[sub].items():
+            np.testing.assert_allclose(
+                np.asarray(p8[sub][k_]), np.asarray(v),
+                rtol=3e-4, atol=1e-5, err_msg=f"{sub}.{k_}",
+            )
+    np.testing.assert_array_equal(
+        np.asarray(s8.tau_u), np.asarray(s1.tau_u)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s8.tau_i)[:30], np.asarray(s1.tau_i)
+    )
+
+
 def test_fit_packed_over_mesh():
     """fit() with train_path='packed' AND a mesh runs the sharded generic
     packed engine end-to-end (train + per-epoch eval on padded tables)."""

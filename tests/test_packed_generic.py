@@ -221,6 +221,51 @@ def test_generic_attentive_matches_dense_full_coverage():
     _full_coverage_parity(model, frozen, params, 0.02, 0.01, 16, 4, seed=13)
 
 
+def test_generic_acf_matches_dense_full_coverage():
+    from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+    from fashionvisualexpl_tpu.models.acf import ACF
+
+    U, I = 6, 8
+    data = synthetic_interactions(U, I, interactions_per_user=4, seed=0)
+    spat = np.asarray(
+        np.random.default_rng(9).normal(size=(I, 3, 5)), np.float32
+    )
+    model = ACF(
+        U, I, spat, data, embed_k=5,
+        layers_component=(4, 1), layers_item=(4, 1), max_user_pos=4,
+    )
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    _full_coverage_parity(model, frozen, params, 0.02, 0.01, 16, 4, seed=17)
+
+
+def test_fit_packed_acf():
+    from fashionvisualexpl_tpu.core.config import TrainConfig
+    from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+    from fashionvisualexpl_tpu.eval.evaluator import Evaluator
+    from fashionvisualexpl_tpu.models.acf import ACF
+    from fashionvisualexpl_tpu.train.trainer import fit
+
+    data = synthetic_interactions(24, 30, interactions_per_user=6, seed=0)
+    I = data.num_items
+    spat = np.asarray(
+        np.random.default_rng(4).normal(size=(I, 3, 6)), np.float32
+    )
+    model = ACF(
+        data.num_users, I, spat, data, embed_k=6,
+        layers_component=(4, 1), layers_item=(4, 1), max_user_pos=6,
+    )
+    cfg = TrainConfig(batch_size=24, epochs=4, lr=0.01, reg=0.001,
+                      top_k=5, train_path="packed", eval_every=4)
+    ev = Evaluator(model, data, k=5, user_block=32)
+    state, frozen, results, extra = fit(model, data, cfg, evaluator=ev)
+    history = extra["history"]
+    assert history[-1].loss < history[0].loss
+    assert results
+    s = model.score(state.params, frozen, jnp.asarray([0, 1]),
+                    jnp.asarray([2, 3]))
+    assert s.shape == (2,)
+
+
 def test_fit_packed_comp_vbpr_and_attentive():
     from fashionvisualexpl_tpu.core.config import TrainConfig
     from fashionvisualexpl_tpu.data.interactions import synthetic_interactions

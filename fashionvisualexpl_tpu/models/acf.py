@@ -62,13 +62,19 @@ class ACF(RecommenderModel):
         num_users: int,
         num_items: int,
         spatial_features: np.ndarray,  # [I, S, C] per-item spatial CNN maps
-        data: Interactions,
+        data: Optional[Interactions] = None,
         embed_k: int = 128,
         layers_component: Tuple[int, ...] = (64, 1),
         layers_item: Tuple[int, ...] = (64, 1),
         max_user_pos: int = 64,
         seed: int = 0,
+        padded_positives: Optional[np.ndarray] = None,  # [U, P] int32
+        positive_counts: Optional[np.ndarray] = None,  # [U] int32
     ):
+        """Either `data` (per-user lists, padded/subsampled here) or
+        precomputed `padded_positives`+`positive_counts` (then used for both
+        the train and eval profiles — the array path for benchmarks and
+        catalogs too large to hold as Python lists)."""
         super().__init__(num_users, num_items)
         if spatial_features.shape[0] != num_items:
             raise ValueError("spatial features rows != num_items")
@@ -77,11 +83,21 @@ class ACF(RecommenderModel):
         self.embed_k = embed_k
         self.layers_component = tuple(layers_component)
         self.layers_item = tuple(layers_item)
-        self.max_user_pos = int(max_user_pos)
         self.S = int(spatial_features.shape[1])
         self.C = int(spatial_features.shape[2])
         self._spatial = np.asarray(spatial_features, np.float32)
 
+        if padded_positives is not None:
+            if positive_counts is None:
+                raise ValueError("positive_counts required with padded_positives")
+            self.max_user_pos = int(padded_positives.shape[1])
+            self._pos_train = np.asarray(padded_positives, np.int32)
+            self._cnt_train = np.asarray(positive_counts, np.int32)
+            self._pos_eval, self._cnt_eval = self._pos_train, self._cnt_train
+            return
+        if data is None:
+            raise ValueError("either data or padded_positives is required")
+        self.max_user_pos = int(max_user_pos)
         rng = np.random.default_rng(seed)
         # train-time profile uses train positives (ACF.py:201-203);
         # eval profile uses train+validation positives (ACF.py:216-218)

@@ -55,13 +55,17 @@ def main():
     ap.add_argument("--eval_users", type=int, default=4096)
     ap.add_argument("--model",
                     choices=["bprmf", "vbpr", "grad_fashion",
-                             "attentive_fashion", "comp_vbpr"],
+                             "attentive_fashion", "comp_vbpr", "acf"],
                     default="bprmf",
                     help="non-bprmf models require --packed (the fastest "
                          "path; their generic numbers are in SPEED.md)")
     ap.add_argument("--img_hw", type=int, default=32,
                     help="edge-image side for the encoder models "
                          "(attentive_fashion / comp_vbpr)")
+    ap.add_argument("--spatial_s", type=int, default=8,
+                    help="acf: spatial components per item (reference: 49)")
+    ap.add_argument("--spatial_c", type=int, default=64,
+                    help="acf: channels per spatial component")
     ap.add_argument("--packed_engine", choices=["specialized", "generic"],
                     default="generic",
                     help="generic = train/packed_generic.py (the Trainer's "
@@ -120,6 +124,17 @@ def main():
             edge_images=imgs,
             class_features=synthetic_features(args.items, 100, seed=3),
             embed_k=args.embed_k,
+        )
+    elif args.model == "acf":
+        from fashionvisualexpl_tpu.models.acf import ACF
+
+        spat = np.random.default_rng(1).standard_normal(
+            (args.items, args.spatial_s, args.spatial_c)
+        ).astype(np.float32)
+        model = ACF(
+            args.users, args.items, spat,
+            embed_k=args.embed_k,
+            padded_positives=padded_pos, positive_counts=counts,
         )
     else:  # comp_vbpr, all four families active
         from fashionvisualexpl_tpu.data.features import synthetic_features

@@ -66,15 +66,17 @@ class ACF(RecommenderModel):
         embed_k: int = 128,
         layers_component: Tuple[int, ...] = (64, 1),
         layers_item: Tuple[int, ...] = (64, 1),
-        max_user_pos: int = 64,
+        max_user_pos: Optional[int] = None,
         seed: int = 0,
         padded_positives: Optional[np.ndarray] = None,  # [U, P] int32
         positive_counts: Optional[np.ndarray] = None,  # [U] int32
     ):
-        """Either `data` (per-user lists, padded/subsampled here) or
-        precomputed `padded_positives`+`positive_counts` (then used for both
-        the train and eval profiles — the array path for benchmarks and
-        catalogs too large to hold as Python lists)."""
+        """Either `data` (per-user lists, padded/subsampled to
+        `max_user_pos`, default 64) or precomputed
+        `padded_positives`+`positive_counts` (then used for both the train
+        and eval profiles — the array path for benchmarks and catalogs too
+        large to hold as Python lists; `max_user_pos`, if given, must match
+        the array width)."""
         super().__init__(num_users, num_items)
         if spatial_features.shape[0] != num_items:
             raise ValueError("spatial features rows != num_items")
@@ -90,14 +92,20 @@ class ACF(RecommenderModel):
         if padded_positives is not None:
             if positive_counts is None:
                 raise ValueError("positive_counts required with padded_positives")
-            self.max_user_pos = int(padded_positives.shape[1])
+            width = int(padded_positives.shape[1])
+            if max_user_pos is not None and int(max_user_pos) != width:
+                raise ValueError(
+                    f"max_user_pos={max_user_pos} != padded_positives "
+                    f"width {width}"
+                )
+            self.max_user_pos = width
             self._pos_train = np.asarray(padded_positives, np.int32)
             self._cnt_train = np.asarray(positive_counts, np.int32)
             self._pos_eval, self._cnt_eval = self._pos_train, self._cnt_train
             return
         if data is None:
             raise ValueError("either data or padded_positives is required")
-        self.max_user_pos = int(max_user_pos)
+        self.max_user_pos = int(max_user_pos if max_user_pos is not None else 64)
         rng = np.random.default_rng(seed)
         # train-time profile uses train positives (ACF.py:201-203);
         # eval profile uses train+validation positives (ACF.py:216-218)
@@ -274,9 +282,17 @@ class ACF(RecommenderModel):
         )
 
     def packed_extra_item_ids(self, frozen, ids):
-        # padded slots point at row 0; _attentive_profile masks them out of
-        # the item-level softmax, so their gradient contribution is zero
-        return jnp.take(frozen["pos_train"], ids[0], axis=0)  # [B, P]
+        # _attentive_profile masks padded slots out of the item-level
+        # softmax, so their gradient contribution is zero.  Padded slots are
+        # remapped to the batch element's OWN positive item (already in the
+        # step's dedupe as a pos row) rather than left at row 0 — otherwise
+        # item 0 would be "touched" every step and collect per-step LazyAdam
+        # momentum-tail updates no other idle row gets.
+        users, p_ids, _ = ids
+        pos = jnp.take(frozen["pos_train"], users, axis=0)  # [B, P]
+        cnt = jnp.take(frozen["cnt_train"], users)  # [B]
+        valid = jnp.arange(pos.shape[1])[None, :] < cnt[:, None]
+        return jnp.where(valid, pos, p_ids[:, None])
 
     def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
                     reg, rng=None, extra_vw=None):

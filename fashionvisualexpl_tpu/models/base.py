@@ -138,7 +138,10 @@ class RecommenderModel:
         """[B, extra_items] int32 item ids the loss reads beyond pos/neg
         (only called when packed_spec().extra_items > 0).  Padded slots must
         point at valid rows whose gradient contribution is exactly zero
-        (e.g. masked out of a softmax)."""
+        (e.g. masked out of a softmax), and should point at rows ALREADY in
+        the step's dedupe (e.g. the element's own pos id) — a fixed filler
+        row would be "touched" every step and collect per-step LazyAdam
+        momentum-tail updates no other idle row gets."""
         raise NotImplementedError
 
     def precompute_eval(self, params, frozen):

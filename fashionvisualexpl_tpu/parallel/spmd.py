@@ -79,13 +79,17 @@ def param_spec_tree(model: RecommenderModel, tree: Dict[str, Any]):
             return P(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
         return P(*([None] * leaf.ndim))
 
-    def spec_rec(name, node):
-        # nested subtrees (attention/encoder towers) are always replicated
+    def replicated(node):
+        # nested subtrees (attention/encoder towers) are always replicated —
+        # row sharding applies only to top-level named tables
         if isinstance(node, dict):
-            return {k: spec_rec(k, v) for k, v in node.items()}
-        return spec_for(name, node)
+            return {k: replicated(v) for k, v in node.items()}
+        return P(*([None] * node.ndim))
 
-    return {k: spec_rec(k, v) for k, v in tree.items()}
+    return {
+        k: replicated(v) if isinstance(v, dict) else spec_for(k, v)
+        for k, v in tree.items()
+    }
 
 
 def shard_params(model, params, frozen, mesh: Mesh):

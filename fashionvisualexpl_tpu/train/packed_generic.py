@@ -153,29 +153,28 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
             }
             for j, s in enumerate(spec.item_scalars):
                 extra_vw[s] = XR[:, 3 * Wi + 3 * j].reshape(B, E)
+            ii = jnp.concatenate([p_ids, n_ids, xids])
+        else:
+            extra_vw = None
+            ii = jnp.concatenate([p_ids, n_ids])
 
-            def local_loss(user_vw, pos_vw, neg_vw, extra_vw, dense_p):
-                return model.packed_loss(
-                    user_vw, pos_vw, neg_vw, dense_p, frozen,
-                    (u, p_ids, n_ids), reg, rng, extra_vw=extra_vw,
-                )
+        def local_loss(user_vw, pos_vw, neg_vw, extra_vw, dense_p):
+            kw = {"extra_vw": extra_vw} if E else {}
+            return model.packed_loss(
+                user_vw, pos_vw, neg_vw, dense_p, frozen,
+                (u, p_ids, n_ids), reg, rng, **kw,
+            )
 
+        if E:
             loss, (gU, gP, gN, gX, gD) = jax.value_and_grad(
                 local_loss, argnums=(0, 1, 2, 3, 4)
             )(user_vw, pos_vw, neg_vw, extra_vw, dense_p)
-            ii = jnp.concatenate([p_ids, n_ids, xids])
         else:
-            def local_loss(user_vw, pos_vw, neg_vw, dense_p):
-                return model.packed_loss(
-                    user_vw, pos_vw, neg_vw, dense_p, frozen,
-                    (u, p_ids, n_ids), reg, rng,
-                )
-
             loss, (gU, gP, gN, gD) = jax.value_and_grad(
-                local_loss, argnums=(0, 1, 2, 3)
+                lambda uv, pv, nv, dp: local_loss(uv, pv, nv, None, dp),
+                argnums=(0, 1, 2, 3),
             )(user_vw, pos_vw, neg_vw, dense_p)
             gX = None
-            ii = jnp.concatenate([p_ids, n_ids])
         t = (state.step + 1).astype(jnp.float32)
 
         # --- users: all user tables share one packed row and one dedupe ---

@@ -76,6 +76,10 @@ def main():
     args = ap.parse_args()
     if args.model != "bprmf" and not args.packed:
         ap.error(f"--model {args.model} requires --packed")
+    if (args.packed_engine == "specialized"
+            and args.model not in ("bprmf", "vbpr", "grad_fashion")):
+        ap.error(f"--model {args.model} has no specialized packed step; "
+                 f"use --packed_engine generic")
 
     import jax
     import jax.numpy as jnp

@@ -63,6 +63,11 @@ def parse_args(argv=None):
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_user_block", type=int, default=2048)
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="compute dtype for the trainable encoder towers "
+                        "(attentive_fashion / comp_vbpr): bfloat16 rides "
+                        "the MXU at full rate; params/loss stay fp32")
     p.add_argument("--streaming_eval", action="store_true",
                    help="use the blocked streaming evaluator (factored models)")
     p.add_argument("--train_path", choices=["generic", "packed"],
@@ -118,6 +123,7 @@ def build_model(args, data, cfg):
             data.num_users, data.num_items, color, edges, cls,
             embed_k=args.embed_k,
             attention_layers=tuple(args.attention_layers),
+            compute_dtype=args.compute_dtype,
         )
     if args.rec == "comp_vbpr":
         from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
@@ -144,6 +150,7 @@ def build_model(args, data, cfg):
             embed_k=args.embed_k, embed_d=args.embed_d,
             activated_components=act,
             weight_components=tuple(args.weight_components),
+            compute_dtype=args.compute_dtype,
         )
     if args.rec == "acf":
         from fashionvisualexpl_tpu.data.pipeline import load_spatial_feature_stack

@@ -33,6 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fashionvisualexpl_tpu.core.precision import (
+    cast_compute,
+    cast_f32,
+    resolve_compute_dtype,
+)
 from fashionvisualexpl_tpu.models.base import (
     Frozen,
     Params,
@@ -67,6 +72,7 @@ class AttentiveFashion(RecommenderModel):
         dropout_rate: float = 0.5,
         conv_filters: int = 64,
         item_block: int = 1024,
+        compute_dtype: str = "float32",
     ):
         super().__init__(num_users, num_items)
         for f, nm in (
@@ -88,6 +94,9 @@ class AttentiveFashion(RecommenderModel):
         self._color = np.asarray(color_features, np.float32)
         self._edges = np.asarray(edge_images, np.float32)
         self._class = np.asarray(class_features, np.float32)
+        # bf16 MXU path for the trainable towers (core/precision.py); fp32
+        # default keeps bit-exact parity.  Master params stay fp32 either way.
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
 
     def row_sharded_params(self):
         return ("Gu", "Gi")
@@ -139,27 +148,33 @@ class AttentiveFashion(RecommenderModel):
     # --- encoders ---
 
     def _mlp_encode(self, enc, x, rng):
-        h = jax.nn.relu(x @ enc["W1"] + enc["b1"])
+        cd = self.compute_dtype
+        h = jax.nn.relu(
+            cast_compute(x, cd) @ cast_compute(enc["W1"], cd)
+            + cast_compute(enc["b1"], cd)
+        )
         h = _dropout(h, self.dropout_rate, rng)
-        return h @ enc["W2"]
+        return cast_f32(h @ cast_compute(enc["W2"], cd))
 
     def _edges_encode(self, enc, images, rng):
         """Conv(5x5, same, relu) -> MaxPool(2x2, same) -> GAP -> Dropout ->
         Dense (AttentiveFashion.py:57-64).  NHWC, MXU-friendly conv."""
+        cd = self.compute_dtype
         y = jax.lax.conv_general_dilated(
-            images, enc["conv_W"],
+            cast_compute(images, cd), cast_compute(enc["conv_W"], cd),
             window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + enc["conv_b"]
+        ) + cast_compute(enc["conv_b"], cd)
         y = jax.nn.relu(y)
         y = jax.lax.reduce_window(
             y, -jnp.inf, jax.lax.max,
             window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
             padding="SAME",
         )
-        y = jnp.mean(y, axis=(1, 2))  # GAP -> [B, filters]
+        # GAP accumulates over H*W elements — keep the reduction fp32
+        y = jnp.mean(cast_f32(y), axis=(1, 2))  # [B, filters]
         y = _dropout(y, self.dropout_rate, rng)
-        return y @ enc["W2"]
+        return cast_f32(cast_compute(y, cd) @ cast_compute(enc["W2"], cd))
 
     def encode_items(self, params, frozen, item_ids=None, rng=None):
         """[N, 3, K] stacked (color, edges, class) embeddings.
@@ -184,12 +199,17 @@ class AttentiveFashion(RecommenderModel):
         """alpha over modalities.  gamma_u [..., K], e_items [..., 3, K] ->
         alpha [..., 3, 1]."""
         att = params["attention"]
-        h = gamma_u[..., None, :] * e_items  # user-gated modalities
+        cd = self.compute_dtype
+        # user-gated modalities; the layer matmuls ride the MXU in cd
+        h = cast_compute(gamma_u[..., None, :], cd) * cast_compute(e_items, cd)
         for l in range(len(self.attention_layers)):
-            h = h @ att[f"W{l + 1}"] + att[f"b{l + 1}"]
+            h = h @ cast_compute(att[f"W{l + 1}"], cd) + cast_compute(
+                att[f"b{l + 1}"], cd
+            )
             if l == 0:
                 h = jax.nn.relu(h)
-        return jax.nn.softmax(h, axis=-2)  # softmax over the modality axis
+        # softmax over the modality axis, fp32 for stable normalization
+        return jax.nn.softmax(cast_f32(h), axis=-2)
 
     def _score_from_encoded(self, params, gamma_u, gamma_i, e_items):
         alpha = self._attention(params, gamma_u, e_items)

@@ -13,6 +13,11 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from fashionvisualexpl_tpu.core.precision import (
+    cast_compute,
+    cast_f32,
+    resolve_compute_dtype,
+)
 from fashionvisualexpl_tpu.models.base import glorot_uniform
 
 
@@ -46,11 +51,15 @@ class CNN:
 
     def __init__(self, k: int, in_channels: int = 3,
                  input_hw: Tuple[int, int] = (224, 224),
-                 dropout_rate: float = 0.5):
+                 dropout_rate: float = 0.5,
+                 compute_dtype: str = "float32"):
         self.k = k
         self.in_channels = in_channels
         self.input_hw = input_hw
         self.dropout_rate = dropout_rate
+        # bf16 MXU path for the convs/FCs (core/precision.py); params and
+        # the tower output stay fp32
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
         # spatial size after stride-4 conv and three 2x2 same-pools
         h, w = input_hw
         h = -(-h // 4); w = -(-w // 4)
@@ -82,19 +91,21 @@ class CNN:
 
     def apply(self, params, images, rng=None):
         """images [B, H, W, C] -> [B, k].  rng enables train-mode dropout."""
-        x = jax.nn.relu(_conv(images, params["conv1_W"], params["conv1_b"],
-                              strides=(4, 4)))
+        cd = self.compute_dtype
+        p = {k: cast_compute(v, cd) for k, v in params.items()}
+        x = cast_compute(images, cd)
+        x = jax.nn.relu(_conv(x, p["conv1_W"], p["conv1_b"], strides=(4, 4)))
         x = _maxpool(x)
-        x = jax.nn.relu(_conv(x, params["conv2_W"], params["conv2_b"]))
+        x = jax.nn.relu(_conv(x, p["conv2_W"], p["conv2_b"]))
         x = _maxpool(x)
-        x = jax.nn.relu(_conv(x, params["conv3_W"], params["conv3_b"]))
-        x = jax.nn.relu(_conv(x, params["conv4_W"], params["conv4_b"]))
-        x = jax.nn.relu(_conv(x, params["conv5_W"], params["conv5_b"]))
+        x = jax.nn.relu(_conv(x, p["conv3_W"], p["conv3_b"]))
+        x = jax.nn.relu(_conv(x, p["conv4_W"], p["conv4_b"]))
+        x = jax.nn.relu(_conv(x, p["conv5_W"], p["conv5_b"]))
         x = _maxpool(x)
         x = x.reshape(x.shape[0], -1)
         r1, r2 = (None, None) if rng is None else jax.random.split(rng)
-        x = jax.nn.relu(x @ params["fc6_W"] + params["fc6_b"])
+        x = jax.nn.relu(x @ p["fc6_W"] + p["fc6_b"])
         x = _dropout(x, self.dropout_rate, r1)
-        x = jax.nn.relu(x @ params["fc7_W"] + params["fc7_b"])
+        x = jax.nn.relu(x @ p["fc7_W"] + p["fc7_b"])
         x = _dropout(x, self.dropout_rate, r2)
-        return x @ params["fc8_W"] + params["fc8_b"]
+        return cast_f32(x @ p["fc8_W"] + p["fc8_b"])

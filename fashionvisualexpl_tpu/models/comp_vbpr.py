@@ -70,6 +70,7 @@ class CompVBPR(RecommenderModel):
         activated_components: Optional[Tuple[bool, ...]] = None,
         weight_components: Tuple[float, ...] = (0.25, 0.25, 0.25, 0.25),
         eval_encode_block: int = 64,
+        compute_dtype: str = "float32",
     ):
         super().__init__(num_users, num_items)
         feats = (semantic_features, color_features, edge_images, texture_features)
@@ -103,7 +104,11 @@ class CompVBPR(RecommenderModel):
         )
         if self.activated[2]:
             h, w, c = self._edges.shape[1:]
-            self.cnn = CNN(embed_d, in_channels=c, input_hw=(h, w))
+            # bf16 MXU path for the trainable edge tower (core/precision.py);
+            # the linear family projections stay fp32 (tiny matmuls, and the
+            # score accumulation must be fp32 anyway)
+            self.cnn = CNN(embed_d, in_channels=c, input_hw=(h, w),
+                           compute_dtype=compute_dtype)
         else:
             self.cnn = None
 

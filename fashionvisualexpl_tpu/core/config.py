@@ -164,6 +164,12 @@ class TrainConfig:
     # with-replacement triple sampling (original-BPR bootstrap scheme);
     # False = the reference's epoch-permutation scheme (dataset.py:83-114)
     bootstrap: bool = False
+    # single-device packed path: fold frozen per-item feature columns into
+    # the packed item rows (models declaring PackedSpec.frozen_item_tables:
+    # vbpr/grad_fashion/acf), halving the row gathers per step.  Value-
+    # identical; costs one extra HBM copy of those tables — disable when
+    # the feature matrix doesn't fit twice.
+    fused_frozen: bool = True
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -110,14 +110,14 @@ class ACF(RecommenderModel):
         # train-time profile uses train positives (ACF.py:201-203);
         # eval profile uses train+validation positives (ACF.py:216-218)
         self._pos_train, self._cnt_train = _pad_user_pos(
-            data.training_list, max_user_pos, rng
+            data.training_list, self.max_user_pos, rng
         )
         eval_lists = [
             list(t) + list(v)
             for t, v in zip(data.training_list, data.validation_list)
         ]
         self._pos_eval, self._cnt_eval = _pad_user_pos(
-            eval_lists, max_user_pos, rng
+            eval_lists, self.max_user_pos, rng
         )
 
     def row_sharded_params(self):
@@ -279,6 +279,10 @@ class ACF(RecommenderModel):
             item_scalars=(),
             dense=("comp", "item"),
             extra_items=self.max_user_pos,
+            # the [S, C] spatial map rides the packed item row so the B*P
+            # extra-row gathers (the step's bottleneck — row-DMA-latency
+            # bound) also deliver the features: one gather instead of two
+            frozen_item_tables=(("Fspat", self.S * self.C),),
         )
 
     def packed_extra_item_ids(self, frozen, ids):
@@ -295,11 +299,17 @@ class ACF(RecommenderModel):
         return jnp.where(valid, pos, p_ids[:, None])
 
     def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
-                    reg, rng=None, extra_vw=None):
+                    reg, rng=None, extra_vw=None, frozen_vw=None):
         users = ids[0]
-        pos = jnp.take(frozen["pos_train"], users, axis=0)  # [B, P]
         cnt = jnp.take(frozen["cnt_train"], users)  # [B]
-        f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
+        if frozen_vw is not None:
+            # Fspat columns ride the extra item rows (padded slots carry the
+            # remapped pos item's map — masked out of the softmax either way)
+            x = frozen_vw["extra"]["Fspat"]  # [B, P, S*C]
+            f = x.reshape(*x.shape[:2], self.S, self.C)
+        else:
+            pos = jnp.take(frozen["pos_train"], users, axis=0)  # [B, P]
+            f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
         gamma_u = user_vw["Gu"]
         g_u_p = self._attentive_profile(
             dense["comp"], dense["item"], gamma_u, f,

@@ -34,13 +34,23 @@ class PackedSpec(NamedTuple):
     rows PER BATCH ELEMENT beyond the pos/neg rows (ACF's attentive profile
     over each user's positive set, reference ACF.py:164-179); the engine
     gathers them from ``packed_extra_item_ids`` and routes their gradients
-    into the same item-row dedupe/scatter."""
+    into the same item-row dedupe/scatter.
+
+    ``frozen_item_tables`` names per-item FROZEN feature tables (name in the
+    frozen pytree, flattened row width) that the single-device engine can
+    fold into the packed item rows: row gathers are DMA-issue-latency bound
+    (~80ns/row regardless of width, SPEED.md), so co-locating the frozen
+    columns makes the big extra-row gather ONE gather instead of two.  The
+    engine passes the gathered views to ``packed_loss`` via ``frozen_vw``;
+    when it doesn't (sharded engine, or packing without the frozen pytree),
+    ``frozen_vw`` is None and the loss gathers from ``frozen`` itself."""
 
     user_tables: Tuple[Tuple[str, int], ...]
     item_tables: Tuple[Tuple[str, int], ...]
     item_scalars: Tuple[str, ...]
     dense: Tuple[str, ...]
     extra_items: int = 0
+    frozen_item_tables: Tuple[Tuple[str, int], ...] = ()
 
 
 def l2_loss(x: jax.Array) -> jax.Array:
@@ -131,7 +141,13 @@ class RecommenderModel:
         whole frozen pytree and `ids=(users, pos, neg)` lets the model
         gather from it.  When the spec declares ``extra_items``, `extra_vw`
         maps item-table names to [B, E, width] (scalars to [B, E]) views of
-        the extra gathered rows.  Must mirror `loss` semantics exactly."""
+        the extra gathered rows.  When the spec declares
+        ``frozen_item_tables`` AND the engine packed them (single-device
+        fused path), a `frozen_vw` kwarg additionally carries
+        {"pos": {name: [B, w]}, "neg": ..., "extra": {name: [B, E, w]}}
+        views of the frozen columns — the model must fall back to gathering
+        from `frozen` when it is None.  Must mirror `loss` semantics
+        exactly."""
         raise NotImplementedError
 
     def packed_extra_item_ids(self, frozen, ids):

@@ -162,18 +162,23 @@ class GradFashion(RecommenderModel):
             item_tables=(("Gi", self.embed_k),),
             item_scalars=("Bi",),
             dense=("E", "Bp", "Ec", "Ee"),
+            frozen_item_tables=(("Fc", self.dim_c), ("Fe", self.dim_e)),
         )
 
     def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
-                    reg, rng=None):
+                    reg, rng=None, frozen_vw=None):
         _, p_ids, n_ids = ids
         gu, tu = user_vw["Gu"], user_vw["Tu"]
         gp, gn = pos_vw["Gi"], neg_vw["Gi"]
         bp, bn = pos_vw["Bi"], neg_vw["Bi"]
-        cp = self.take("Fc", frozen["Fc"], p_ids)
-        cn = self.take("Fc", frozen["Fc"], n_ids)
-        ep = self.take("Fe", frozen["Fe"], p_ids)
-        en = self.take("Fe", frozen["Fe"], n_ids)
+        if frozen_vw is not None:  # Fc/Fe columns ride the packed item rows
+            cp, cn = frozen_vw["pos"]["Fc"], frozen_vw["neg"]["Fc"]
+            ep, en = frozen_vw["pos"]["Fe"], frozen_vw["neg"]["Fe"]
+        else:
+            cp = self.take("Fc", frozen["Fc"], p_ids)
+            cn = self.take("Fc", frozen["Fc"], n_ids)
+            ep = self.take("Fe", frozen["Fe"], p_ids)
+            en = self.take("Fe", frozen["Fe"], n_ids)
         E, Bp = dense["E"], dense["Bp"]
         Ec, Ee = dense["Ec"], dense["Ee"]
         vf_p = jnp.concatenate([cp @ Ec, ep @ Ee], axis=1)

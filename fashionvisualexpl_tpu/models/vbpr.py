@@ -134,16 +134,20 @@ class VBPR(RecommenderModel):
             item_tables=(("Gi", self.embed_k),),
             item_scalars=("Bi",),
             dense=("E", "Bp"),
+            frozen_item_tables=(("F", self.dim_f),),
         )
 
     def packed_loss(self, user_vw, pos_vw, neg_vw, dense, frozen, ids,
-                    reg, rng=None):
+                    reg, rng=None, frozen_vw=None):
         _, p_ids, n_ids = ids
         gu, tu = user_vw["Gu"], user_vw["Tu"]
         gp, gn = pos_vw["Gi"], neg_vw["Gi"]
         bp, bn = pos_vw["Bi"], neg_vw["Bi"]
-        fp = self.take("F", frozen["F"], p_ids)
-        fn_ = self.take("F", frozen["F"], n_ids)
+        if frozen_vw is not None:  # F columns ride the packed item rows
+            fp, fn_ = frozen_vw["pos"]["F"], frozen_vw["neg"]["F"]
+        else:
+            fp = self.take("F", frozen["F"], p_ids)
+            fn_ = self.take("F", frozen["F"], n_ids)
         E, Bp = dense["E"], dense["Bp"]
         x_pos = (
             bp + jnp.sum(gu * gp, axis=1)

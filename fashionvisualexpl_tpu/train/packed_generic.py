@@ -54,7 +54,7 @@ __all__ = [
 class GenericPackedState(NamedTuple):
     step: jnp.ndarray  # scalar int32
     user_pmv: jax.Array  # [U, 3*Wu]
-    item_pmv: jax.Array  # [I, 3*Wi + 3*nS]
+    item_pmv: jax.Array  # [I, 3*Wi + 3*nS (+ frozen cols when fused)]
     tau_u: jax.Array  # [U] int32 last-touch step
     tau_i: jax.Array  # [I] int32
     dense: Dict[str, tuple]  # name -> (p, m, v) pytrees
@@ -68,7 +68,12 @@ def _offsets(tables):
     return offs, off
 
 
-def pack_generic_state(model, params) -> GenericPackedState:
+def pack_generic_state(model, params, frozen=None) -> GenericPackedState:
+    """Pack params into p|m|v rows.  When `frozen` is given and the spec
+    declares ``frozen_item_tables``, their columns are folded into the item
+    rows (the step then issues ONE row gather where it would issue two —
+    row gathers are latency-bound, not width-bound).  The sharded engine
+    packs without `frozen` (frozen columns must not ride the lookup psum)."""
     spec: PackedSpec = model.packed_spec()
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
@@ -83,6 +88,15 @@ def pack_generic_state(model, params) -> GenericPackedState:
     parts = [params[n] for n, _, _ in i_offs] + [jnp.zeros((I, 2 * Wi), dtype)]
     for s in spec.item_scalars:
         parts += [params[s][:, None], jnp.zeros((I, 2), dtype)]
+    if frozen is not None:
+        for name, w in spec.frozen_item_tables:
+            col = jnp.asarray(frozen[name]).reshape(I, -1).astype(dtype)
+            if col.shape[1] != w:
+                raise ValueError(
+                    f"frozen table {name!r}: declared width {w} != "
+                    f"flattened width {col.shape[1]}"
+                )
+            parts.append(col)
     item = jnp.concatenate(parts, axis=1)
 
     zeros_like_tree = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
@@ -114,12 +128,21 @@ def unpack_generic_params(state: GenericPackedState, spec: PackedSpec):
     return params
 
 
-def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
+def make_generic_packed_step(
+    model, lr: float, reg: float, fused_frozen: bool = False
+) -> Callable:
+    """`fused_frozen=True` requires the state to have been packed WITH the
+    frozen pytree (pack_generic_state(..., frozen=...)); the step then reads
+    the frozen feature columns out of the same row gathers and hands them to
+    packed_loss as `frozen_vw`."""
     spec: PackedSpec = model.packed_spec()
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
     nS = len(spec.item_scalars)
     E = spec.extra_items
+    f_offs, _ = _offsets(spec.frozen_item_tables)
+    F0 = 3 * Wi + 3 * nS  # frozen columns start here
+    fused_frozen = bool(fused_frozen and spec.frozen_item_tables)
 
     def step(state: GenericPackedState, batch):
         frozen, (u, p_ids, n_ids), rng = batch
@@ -146,7 +169,7 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
             xids = model.packed_extra_item_ids(
                 frozen, (u, p_ids, n_ids)
             ).reshape(-1)  # [B*E]
-            XR = jnp.take(state.item_pmv, xids, axis=0)  # [B*E, 3Wi+3nS]
+            XR = jnp.take(state.item_pmv, xids, axis=0)  # [B*E, 3Wi+3nS(+F)]
             extra_vw = {
                 n: XR[:, off:off + w].reshape(B, E, w)
                 for n, off, w in i_offs
@@ -158,8 +181,26 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
             extra_vw = None
             ii = jnp.concatenate([p_ids, n_ids])
 
+        # frozen feature columns, sliced out of the SAME row gathers —
+        # closure constants w.r.t. the differentiated views below
+        frozen_vw = None
+        if fused_frozen:
+            frozen_vw = {
+                "pos": {n: IR[:B, F0 + off:F0 + off + w]
+                        for n, off, w in f_offs},
+                "neg": {n: IR[B:, F0 + off:F0 + off + w]
+                        for n, off, w in f_offs},
+            }
+            if E:
+                frozen_vw["extra"] = {
+                    n: XR[:, F0 + off:F0 + off + w].reshape(B, E, w)
+                    for n, off, w in f_offs
+                }
+
         def local_loss(user_vw, pos_vw, neg_vw, extra_vw, dense_p):
             kw = {"extra_vw": extra_vw} if E else {}
+            if fused_frozen:
+                kw["frozen_vw"] = frozen_vw
             return model.packed_loss(
                 user_vw, pos_vw, neg_vw, dense_p, frozen,
                 (u, p_ids, n_ids), reg, rng, **kw,
@@ -207,18 +248,19 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
         iids, cgi = compact_row_grads(
             ii, jnp.concatenate(gi_parts, axis=1), 2 * B + B * E
         )
-        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, 3Wi+3nS]
+        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, 3Wi+3nS(+F)]
         dt = (t - state.tau_i[iids].astype(jnp.float32))[:, None]
         emb = _lazy_rows(rows[:, : 3 * Wi], cgi[:, :Wi], dt, t, lr)
+        tail = [rows[:, F0:]] if fused_frozen else []  # frozen cols unchanged
         if nS:
             S = rows.shape[0]
-            sc_rows = rows[:, 3 * Wi:].reshape(S * nS, 3)
+            sc_rows = rows[:, 3 * Wi:F0].reshape(S * nS, 3)
             sc_g = cgi[:, Wi:].reshape(S * nS, 1)
             sc_dt = jnp.repeat(dt, nS, axis=0)
             sc = _lazy_rows(sc_rows, sc_g, sc_dt, t, lr).reshape(S, 3 * nS)
-            new_rows = jnp.concatenate([emb, sc], axis=1)
+            new_rows = jnp.concatenate([emb, sc] + tail, axis=1)
         else:
-            new_rows = emb
+            new_rows = jnp.concatenate([emb] + tail, axis=1) if tail else emb
         item_pmv = state.item_pmv.at[iids].set(
             new_rows, unique_indices=True
         )
@@ -255,12 +297,14 @@ def make_generic_packed_step(model, lr: float, reg: float) -> Callable:
 
 def make_generic_packed_epoch_fn(
     model, lr: float, reg: float, num_items: int, steps: int, batch: int,
-    with_replacement: bool = True,
+    with_replacement: bool = True, fused_frozen: bool = False,
 ) -> Callable:
     """Scanned, donated epoch over the generic packed step.  Per-step PRNG
     keys are threaded through for models whose loss uses dropout
-    (AttentiveFashion, CompVBPR's CNN tower); others ignore them."""
-    step_fn = make_generic_packed_step(model, lr, reg)
+    (AttentiveFashion, CompVBPR's CNN tower); others ignore them.
+    `fused_frozen` requires a state packed with the frozen pytree
+    (see make_generic_packed_step)."""
+    step_fn = make_generic_packed_step(model, lr, reg, fused_frozen=fused_frozen)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: GenericPackedState, frozen, key,

@@ -76,6 +76,7 @@ class Trainer:
         self._pos_counts = jnp.asarray(data.pos_counts)
 
         self._packed = None  # (pack_fn, unpack_fn) when the packed path is on
+        self._fused_frozen = False  # set by _build_packed_epoch_fn
         if self.mesh is not None and cfg.train_path == "packed":
             from fashionvisualexpl_tpu.parallel.fast_spmd import (
                 make_generic_packed_spmd_epoch_fn,
@@ -153,15 +154,18 @@ class Trainer:
         model, cfg = self.model, self.cfg
         steps, batch = self.steps_per_epoch, cfg.batch_size
         try:
-            model.packed_spec()
+            spec = model.packed_spec()
         except NotImplementedError as e:
             raise NotImplementedError(
                 f"train_path='packed' requires packed_spec/packed_loss; "
                 f"{model.name} does not implement them"
             ) from e
+        # init_state packs the state WITH the frozen columns iff this is on
+        self._fused_frozen = bool(cfg.fused_frozen and spec.frozen_item_tables)
         inner = make_generic_packed_epoch_fn(
             model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
             with_replacement=cfg.bootstrap,
+            fused_frozen=self._fused_frozen,
         )
 
         def epoch_fn(state, frozen, key, pairs, pos, cnt):
@@ -202,7 +206,10 @@ class Trainer:
 
             return (
                 GenericPackedTrainState(
-                    pack_generic_state(self.model, params),
+                    pack_generic_state(
+                        self.model, params,
+                        frozen=frozen if self._fused_frozen else None,
+                    ),
                     self.model.packed_spec(),
                 ),
                 frozen,

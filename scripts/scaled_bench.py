@@ -73,6 +73,14 @@ def main():
                          "per-model steps in train/packed.py")
     ap.add_argument("--dim_f", type=int, default=64,
                     help="frozen feature dim (per family for grad_fashion)")
+    ap.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="encoder-tower compute dtype "
+                         "(attentive_fashion / comp_vbpr)")
+    ap.add_argument("--fused_frozen", action="store_true",
+                    help="fold frozen per-item feature columns into the "
+                         "packed item rows (vbpr/grad_fashion/acf, generic "
+                         "engine): one row gather instead of two")
     args = ap.parse_args()
     if args.model != "bprmf" and not args.packed:
         ap.error(f"--model {args.model} requires --packed")
@@ -128,6 +136,7 @@ def main():
             edge_images=imgs,
             class_features=synthetic_features(args.items, 100, seed=3),
             embed_k=args.embed_k,
+            compute_dtype=args.compute_dtype,
         )
     elif args.model == "acf":
         from fashionvisualexpl_tpu.models.acf import ACF
@@ -155,6 +164,7 @@ def main():
             edge_images=imgs,
             texture_features=synthetic_features(args.items, args.dim_f, seed=4),
             embed_k=args.embed_k, embed_d=20,
+            compute_dtype=args.compute_dtype,
         )
     params, frozen = model.init(jax.random.PRNGKey(0))
     print("state built", flush=True)
@@ -171,10 +181,14 @@ def main():
             unpack_generic_params,
         )
 
-        state = pack_generic_state(model, params)
+        fused = bool(args.fused_frozen
+                     and model.packed_spec().frozen_item_tables)
+        state = pack_generic_state(
+            model, params, frozen=frozen if fused else None
+        )
         epoch_fn = make_generic_packed_epoch_fn(
             model, 0.001, 0.001, args.items, steps, batch,
-            with_replacement=args.bootstrap,
+            with_replacement=args.bootstrap, fused_frozen=fused,
         )
 
         def run(state, key):

@@ -339,3 +339,124 @@ def test_generic_packed_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(restored.params[k]), np.asarray(state.params[k]), k
         )
+
+
+def _fused_vs_unfused(model, params, frozen, lr=0.02, reg=0.01, B=12,
+                      steps=6, seed=21):
+    """fused_frozen must be value-identical to the unfused step: the frozen
+    columns carry the same bits the separate gather would fetch."""
+    state_u = pack_generic_state(model, params)
+    state_f = pack_generic_state(model, params, frozen=frozen)
+    step_u = jax.jit(make_generic_packed_step(model, lr, reg))
+    step_f = jax.jit(
+        make_generic_packed_step(model, lr, reg, fused_frozen=True)
+    )
+
+    spec = model.packed_spec()
+    Wi = sum(w for _, w in spec.item_tables)
+    F0 = 3 * Wi + 3 * len(spec.item_scalars)
+    assert state_f.item_pmv.shape[1] == F0 + sum(
+        w for _, w in spec.frozen_item_tables
+    )
+
+    rng = np.random.default_rng(seed)
+    for u, p, n in _random_batches(rng, model.num_users, model.num_items,
+                                   B, steps):
+        state_u, lu = step_u(state_u, (frozen, (u, p, n), None))
+        state_f, lf = step_f(state_f, (frozen, (u, p, n), None))
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lu))
+
+    np.testing.assert_array_equal(
+        np.asarray(state_f.user_pmv), np.asarray(state_u.user_pmv)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_f.item_pmv)[:, :F0], np.asarray(state_u.item_pmv)
+    )
+    for name in state_u.dense:
+        np.testing.assert_array_equal(
+            np.asarray(jnp.concatenate([
+                x.reshape(-1)
+                for x in jax.tree_util.tree_leaves(state_f.dense[name][0])
+            ])),
+            np.asarray(jnp.concatenate([
+                x.reshape(-1)
+                for x in jax.tree_util.tree_leaves(state_u.dense[name][0])
+            ])),
+            err_msg=name,
+        )
+    # frozen columns pass through updates untouched
+    packed_cols = np.asarray(state_f.item_pmv)[:, F0:]
+    off = 0
+    for name, w in spec.frozen_item_tables:
+        want = np.asarray(frozen[name]).reshape(model.num_items, -1)
+        np.testing.assert_array_equal(packed_cols[:, off:off + w], want, name)
+        off += w
+
+
+def test_fused_frozen_vbpr():
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+    U, I = 25, 35
+    model = VBPR(U, I, synthetic_features(I, 9, seed=1), embed_k=6, embed_d=4)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    _fused_vs_unfused(model, params, frozen)
+
+
+def test_fused_frozen_grad_fashion():
+    from fashionvisualexpl_tpu.models.grad_fashion import GradFashion
+
+    U, I = 20, 30
+    model = GradFashion(
+        U, I, synthetic_features(I, 7, seed=2), synthetic_features(I, 9, seed=3),
+        embed_k=5, embed_d=3, embed_color=4, embed_edges=4,
+    )
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    _fused_vs_unfused(model, params, frozen)
+
+
+def test_fused_frozen_acf():
+    from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+    from fashionvisualexpl_tpu.models.acf import ACF
+
+    U, I = 12, 16
+    data = synthetic_interactions(U, I, interactions_per_user=4, seed=0)
+    spat = np.asarray(
+        np.random.default_rng(9).normal(size=(I, 3, 5)), np.float32
+    )
+    model = ACF(U, I, spat, data, embed_k=5,
+                layers_component=(4, 1), layers_item=(4, 1), max_user_pos=4)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    _fused_vs_unfused(model, params, frozen)
+
+
+def test_trainer_fused_frozen_matches_unfused():
+    """Trainer-level: TrainConfig.fused_frozen (default on for models that
+    declare frozen_item_tables) must not change the trajectory."""
+    from fashionvisualexpl_tpu.core.config import TrainConfig
+    from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+    from fashionvisualexpl_tpu.train.trainer import Trainer
+
+    data = synthetic_interactions(20, 24, interactions_per_user=5, seed=3)
+    model = VBPR(20, 24, synthetic_features(24, 8, seed=1),
+                 embed_k=6, embed_d=3)
+    losses = {}
+    params = {}
+    for fused in (True, False):
+        cfg = TrainConfig(batch_size=16, epochs=1, lr=0.01, reg=0.001,
+                          train_path="packed", fused_frozen=fused)
+        trainer = Trainer(model, data, cfg)
+        assert trainer._fused_frozen is fused
+        state, frozen = trainer.init_state()
+        key = jax.random.PRNGKey(7)
+        ls = []
+        for e in range(3):
+            state, loss = trainer.run_epoch(
+                state, frozen, jax.random.fold_in(key, e)
+            )
+            ls.append(float(loss))
+        losses[fused] = ls
+        params[fused] = jax.tree_util.tree_map(np.asarray, state.params)
+    assert losses[True] == losses[False]
+    for k in params[True]:
+        np.testing.assert_array_equal(params[True][k], params[False][k], k)

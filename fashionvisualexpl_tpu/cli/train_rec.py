@@ -19,8 +19,8 @@ from typing import List
 import numpy as np
 
 
-def parse_args(argv=None):
-    p = argparse.ArgumentParser(description="Run train of the Recommender Model.")
+def build_parser(description="Run train of the Recommender Model."):
+    p = argparse.ArgumentParser(description=description)
     p.add_argument("--best_metric", type=str, default="ndcg")
     p.add_argument("--dataset", nargs="?", default="amazon_baby")
     p.add_argument("--rec", nargs="?", default="attentive_fashion")
@@ -82,7 +82,11 @@ def parse_args(argv=None):
                    help="data-parallel mesh axis size")
     p.add_argument("--mesh_model", type=int, default=1,
                    help="table-row-sharding mesh axis size")
-    return p.parse_args(argv)
+    return p
+
+
+def parse_args(argv=None):
+    return build_parser().parse_args(argv)
 
 
 def build_model(args, data, cfg):

@@ -266,7 +266,10 @@ def fit(
 
     results: Dict[int, Dict[str, float]] = {}
     history: List[EpochResult] = []
-    best_params = state.params
+    # must COPY: run_epoch donates the state, so aliasing state.params here
+    # would return deleted buffers if no eval ever updates the best (e.g.
+    # evaluator=None)
+    best_params = jax.tree_util.tree_map(jnp.copy, state.params)
     best_epoch = 0
     best_value = -float("inf")
     metric_key = cfg.best_metric + "_v"

@@ -93,3 +93,49 @@ def test_cli_comp_vbpr_ablated(dataset_dir):
         extra=("--activated_components", "1", "0", "0", "1"),
     )
     assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+
+
+def test_cli_serve_from_checkpoint(dataset_dir):
+    """train (with checkpointing) -> serve_rec restores best params and
+    answers queries in the store_recommendation TSV format."""
+    from fashionvisualexpl_tpu.cli.serve_rec import serve
+
+    _run(dataset_dir, "vbpr", extra=("--verbose", "1"))
+    wdir = os.path.join(
+        dataset_dir, "results", "rec_model_weights", "synthetic", "vbpr"
+    )
+    ckpts = glob.glob(os.path.join(wdir, "ckpt-*"))
+    assert ckpts, os.listdir(wdir)
+
+    out = os.path.join(dataset_dir, "served.tsv")
+    common = [
+        "--rec", "vbpr", "--dataset", "synthetic",
+        "--data_root", dataset_dir,
+        "--results_root", os.path.join(dataset_dir, "results"),
+        "--embed_k", "8", "--embed_d", "4", "--top_k", "5",
+        "--ckpt", ckpts[0],
+    ]
+    serve(common + ["--users", "0,3,5", "--output", out])
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 3 * 5
+    served_users = sorted({int(l.split("\t")[0]) for l in lines})
+    assert served_users == [0, 3, 5]
+
+    # quantized path serves the same ids; scores agree to fp32 reduction
+    # order (block matmul vs candidate einsum differ in the last ulp)
+    out_q = os.path.join(dataset_dir, "served_q.tsv")
+    serve(common + ["--users", "0,3,5", "--output", out_q, "--quantized"])
+    q_lines = open(out_q).read().strip().split("\n")
+    assert [l.split("\t")[:2] for l in q_lines] == [
+        l.split("\t")[:2] for l in lines
+    ]
+    np.testing.assert_allclose(
+        [float(l.split("\t")[2]) for l in q_lines],
+        [float(l.split("\t")[2]) for l in lines],
+        rtol=1e-5,
+    )
+
+    # 'all' mode covers every user
+    out_all = os.path.join(dataset_dir, "served_all.tsv")
+    serve(common + ["--users", "all", "--output", out_all])
+    assert len(open(out_all).read().strip().split("\n")) == 20 * 5

@@ -1,0 +1,127 @@
+"""Serving engine: exact/quantized/direct query paths vs numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashionvisualexpl_tpu.data.features import synthetic_features
+from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+from fashionvisualexpl_tpu.models.bprmf import BPRMF
+from fashionvisualexpl_tpu.serve import RecServer, quantize_rows
+
+
+def _fixture(U=60, I=90, K=8, seed=0):
+    data = synthetic_interactions(U, I, interactions_per_user=6, seed=seed)
+    model = BPRMF(U, I, embed_k=K)
+    params, frozen = model.init(jax.random.PRNGKey(seed))
+    return model, data, params, frozen
+
+
+def _oracle_topk(model, data, params, frozen, k):
+    uf, iv, ib = model.factored_eval(params, frozen)
+    uf = np.asarray(uf)[: data.num_users]
+    iv = np.asarray(iv)[: data.num_items]
+    scores = uf @ iv.T
+    if ib is not None:
+        scores = scores + np.asarray(ib)[None, : data.num_items]
+    for u, row in enumerate(data.training_list):
+        scores[u, list(row)] = -np.inf
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, ids, axis=1)
+    return ids, vals
+
+
+def test_exact_query_matches_oracle():
+    model, data, params, frozen = _fixture()
+    srv = RecServer(model, data, k=5, item_block=32)
+    srv.refresh(params, frozen)
+    oracle_ids, oracle_vals = _oracle_topk(model, data, params, frozen, k=5)
+
+    users = np.arange(data.num_users, dtype=np.int32)
+    ids, vals = srv.query(users)
+    np.testing.assert_array_equal(ids, oracle_ids)
+    np.testing.assert_allclose(vals, oracle_vals, rtol=1e-5, atol=1e-5)
+
+
+def test_train_items_never_served():
+    model, data, params, frozen = _fixture(seed=3)
+    srv = RecServer(model, data, k=7)
+    srv.refresh(params, frozen)
+    ids, _ = srv.query(np.arange(data.num_users))
+    for u, row in enumerate(data.training_list):
+        assert not set(ids[u]) & set(row)
+
+
+def test_quantized_query_matches_exact():
+    model, data, params, frozen = _fixture(U=50, I=200, K=16, seed=1)
+    exact = RecServer(model, data, k=5, item_block=64)
+    quant = RecServer(model, data, k=5, item_block=64, quantized=True,
+                      oversample=4)
+    exact.refresh(params, frozen)
+    quant.refresh(params, frozen)
+    users = np.arange(data.num_users, dtype=np.int32)
+    e_ids, e_vals = exact.query(users)
+    q_ids, q_vals = quant.query(users)
+    # rescoring is exact fp32, so ids AND scores must agree wherever the
+    # oversampled candidate horizon covers the true top-k (it does here)
+    np.testing.assert_array_equal(q_ids, e_ids)
+    np.testing.assert_allclose(q_vals, e_vals, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_rows_roundtrip_error_bounded():
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 16))
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s)[:, None] - np.asarray(x))
+    # max error is half a quantization step per row (+ fp32 slack)
+    assert (err <= np.asarray(s)[:, None] * 0.51).all()
+
+
+def test_batch_bucketing_and_chunking():
+    model, data, params, frozen = _fixture(seed=2)
+    srv = RecServer(model, data, k=4, max_batch=16)
+    srv.refresh(params, frozen)
+    all_ids, all_vals = srv.query(np.arange(data.num_users))
+    # odd-size batch (pads to a bucket) and oversize batch (chunks) agree
+    some = np.asarray([3, 17, 41], np.int32)
+    ids, vals = srv.query(some)
+    np.testing.assert_array_equal(ids, all_ids[some])
+    np.testing.assert_allclose(vals, all_vals[some], rtol=1e-6)
+    one = srv.query_user(9)
+    assert [i for i, _ in one] == list(all_ids[9])
+    empty_ids, empty_vals = srv.query(np.zeros((0,), np.int32))
+    assert empty_ids.shape == (0, 4) and empty_vals.shape == (0, 4)
+
+
+def test_direct_path_attentive_fashion():
+    from fashionvisualexpl_tpu.models.attentive_fashion import AttentiveFashion
+
+    U, I, K = 12, 16, 8
+    rng = np.random.default_rng(0)
+    color = synthetic_features(I, 10, seed=0)
+    edges = rng.random((I, 12, 12, 1)).astype(np.float32)
+    cls = np.eye(5, dtype=np.float32)[rng.integers(0, 5, I)]
+    model = AttentiveFashion(
+        U, I, color, edges, cls, embed_k=K,
+        attention_layers=(6, 1), encoder_hidden=16, item_block=7,
+    )
+    assert not hasattr(model, "factored_eval")
+    data = synthetic_interactions(U, I, interactions_per_user=4, seed=0)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+
+    srv = RecServer(model, data, k=3)
+    srv.refresh(params, frozen)
+    users = np.arange(U, dtype=np.int32)
+    ids, vals = srv.query(users)
+
+    ctx = model.precompute_eval(params, frozen)
+    scores = np.array(
+        model.predict_user_block(params, frozen, jnp.asarray(users), ctx)
+    )[:, :I]
+    for u, row in enumerate(data.training_list):
+        scores[u, list(row)] = -np.inf
+    oracle_ids = np.argsort(-scores, axis=1, kind="stable")[:, :3]
+    np.testing.assert_array_equal(ids, oracle_ids)
+    np.testing.assert_allclose(
+        vals, np.take_along_axis(scores, oracle_ids, axis=1), rtol=1e-5
+    )

@@ -12,21 +12,27 @@ TPU-natively:
   publish: factored user/item matrices (`model.factored_eval`) for the five
   factored models, or the model's `precompute_eval` context (e.g.
   AttentiveFashion's encoded item stack) for pointwise models.
-- **query(user_ids)** is one jitted program per batch-size bucket, in two
-  stages: (1) candidate generation at hardware-native matmul precision —
-  blocked MXU scoring + streaming top-(oversample * (k + max_train))
-  (`approx_max_k` recall 1.0 lowers to PartialReduce, not a full sort) —
-  and (2) exact fp32 rescoring (`Precision.HIGHEST`) of those candidates,
-  per-user interaction-history filter (the same by-ID exclusion the
-  evaluator uses — no [U, I] mask is ever built), final top-k.  The
-  two-stage split matters on TPU: fp32 matmuls use bf16 multiplies by
-  default (~1e-3 relative error), so candidate scores are approximate; the
-  oversampled horizon absorbs the displacement and the rescore makes the
-  served ranking the true fp32 ranking, independent of the generation path.
-- **quantized=True** swaps the candidate stage to int8: both factor
-  matrices symmetrically quantized per row, candidate scores accumulated
-  in int32 on the MXU's double-rate int8 path.  Same rescore, same served
-  ranking (tested; `oversample` controls the displacement margin).
+- **query(user_ids)** is one jitted program per batch-size bucket, in three
+  stages:
+  1. *segment-max candidate generation*: catalog scores stream in blocks at
+     hardware-native matmul precision; each block immediately max-pools over
+     R-item segments (an elementwise reduction XLA fuses into the matmul
+     epilogue — per-item top-k machinery was measured 10-30x slower than
+     the scoring matmul itself).  One `approx_max_k` (recall 1.0 — exact,
+     lowers to PartialReduce, not a sort) over the R-times-smaller segment
+     matrix picks the top segments; all R items of each winning segment
+     become candidates.  Ranking segments by max provably recovers the true
+     top-m items within the top-m segments.
+  2. *exact fp32 rescore* (`Precision.HIGHEST`) of the candidates: TPU fp32
+     matmuls use bf16 multiplies by default (~1e-3 relative error), so
+     stage-1 scores are approximate; the segment margin (`oversample`)
+     absorbs the displacement and the rescore makes the served ranking the
+     true fp32 ranking, independent of the generation path.
+  3. per-user interaction-history filter (the same by-ID exclusion the
+     evaluator uses — no [U, I] mask is ever built) and final top-k.
+- **quantized=True** swaps stage 1's matmul to int8: both factor matrices
+  symmetrically quantized per row, scores accumulated in int32 on the MXU's
+  double-rate int8 path.  Same rescore, same served ranking (tested).
 
 Query batches are padded to power-of-two buckets so XLA compiles a handful
 of programs, not one per batch size.
@@ -41,12 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fashionvisualexpl_tpu.data.interactions import Interactions, pad_lists
-from fashionvisualexpl_tpu.ops.topk import (
-    OUT_OF_RANGE_ID,
-    _merge_topk,
-    filter_items_topk,
-    streaming_topk_and_counts,
-)
+from fashionvisualexpl_tpu.ops.topk import OUT_OF_RANGE_ID
 
 
 def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -55,54 +56,6 @@ def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-30) / 127.0
     q = jnp.clip(jnp.round(x / scale[:, None]), -127, 127).astype(jnp.int8)
     return q, scale
-
-
-def _quantized_topc(qu, su, q_items, s_items, item_bias, c, item_block):
-    """Top-c candidate ids/scores from int8 factors, blocked over items.
-
-    Scores are (int8 @ int8 -> int32) * row scales + bias — the MXU int8
-    path at double the bf16 rate; structure mirrors
-    ops/topk.streaming_topk_and_counts (same merge, same sentinel ids).
-    """
-    B = qu.shape[0]
-    I = q_items.shape[0]
-    blk = min(item_block, I)
-    n_blocks = -(-I // blk)
-    pad = n_blocks * blk - I
-
-    qi = jnp.pad(q_items, ((0, pad), (0, 0)))
-    si = jnp.pad(s_items, (0, pad))
-    ib = (
-        jnp.pad(item_bias, (0, pad)) if item_bias is not None
-        else jnp.zeros((n_blocks * blk,), jnp.float32)
-    )
-    valid = (jnp.arange(n_blocks * blk) < I).reshape(n_blocks, blk)
-    qi = qi.reshape(n_blocks, blk, qi.shape[1])
-    si = si.reshape(n_blocks, blk)
-    ibb = ib.reshape(n_blocks, blk)
-
-    cb = min(c, blk)
-    init_v = jnp.full((B, c), -jnp.inf, jnp.float32)
-    init_i = jnp.full((B, c), OUT_OF_RANGE_ID, jnp.int32)
-
-    def body(carry, xs):
-        rv, ri = carry
-        qi_b, si_b, ib_b, valid_b, base = xs
-        acc = jax.lax.dot_general(
-            qu, qi_b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [B, blk] int32
-        s = acc.astype(jnp.float32) * su[:, None] * si_b[None, :] + ib_b[None, :]
-        s = jnp.where(valid_b[None, :], s, -jnp.inf)
-        bv, bp = jax.lax.approx_max_k(s, cb, recall_target=1.0)
-        bi = bp.astype(jnp.int32) + base
-        bi = jnp.where(jnp.isneginf(bv), OUT_OF_RANGE_ID, bi)
-        rv, ri = _merge_topk(rv, ri, bv, bi, c)
-        return (rv, ri), None
-
-    bases = jnp.arange(n_blocks, dtype=jnp.int32) * blk
-    (tv, ti), _ = jax.lax.scan(body, (init_v, init_i), (qi, si, ibb, valid, bases))
-    return tv, ti
 
 
 class RecServer:
@@ -116,10 +69,17 @@ class RecServer:
     data : Interactions — supplies each user's train history for exclusion
         (the `store_recommendation` protocol: train items never served).
     k : recommendations per query.
-    item_block : item-axis block for the streaming scans.
-    quantized : enable the int8 candidate-generation stage (factored only).
-    oversample : candidate-set size multiplier for the quantized path
-        (candidates = oversample * (k + max_train), clamped to the catalog).
+    item_block : item-axis block for the streaming scoring scan.
+    quantized : int8 candidate generation (factored models only).
+    oversample : segment-horizon multiplier — candidates come from the top
+        ``oversample * (k + max_train)`` segments (clamped to the catalog);
+        >=2 leaves margin for low-precision score displacement.
+    seg : segment width R of the max-pool (catalog items per candidate
+        segment); candidates per query = k_seg * seg.
+    history : optional precomputed (padded_train_items [U, P],
+        train_counts [U]) arrays, overriding the pad of
+        ``data.training_list`` — for deployments that already hold the
+        padded form.
     """
 
     def __init__(
@@ -127,110 +87,235 @@ class RecServer:
         model,
         data: Interactions,
         k: int = 20,
-        item_block: int = 8192,
+        item_block: int = 65536,
         quantized: bool = False,
-        oversample: int = 4,
+        oversample: int = 2,
+        seg: int = 32,
         max_batch: int = 4096,
+        rescore_chunk: int = 128,
+        history: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ):
         self.model = model
         self.data = data
         self.k = k
-        self.item_block = item_block
         self.quantized = quantized
         self.oversample = oversample
+        self.seg = min(seg, data.num_items)
         self.max_batch = max_batch
+        self.rescore_chunk = rescore_chunk
+        # block must hold whole segments
+        self.item_block = max(self.seg, (item_block // self.seg) * self.seg)
 
-        train_padded, train_counts = pad_lists(data.training_list, pad_value=0)
+        if history is not None:
+            train_padded, train_counts = history
+        else:
+            train_padded, train_counts = pad_lists(
+                data.training_list, pad_value=0
+            )
         self._train_items = jnp.asarray(train_padded)  # [U, P]
         self._train_counts = jnp.asarray(train_counts)  # [U]
         self._P = int(train_padded.shape[1])
-        self._k_big = min(data.num_items, k + self._P)
-        if k > self._k_big:
+        k_big = k + self._P
+        if k > data.num_items:
             raise ValueError(f"k={k} exceeds catalog size {data.num_items}")
+        # static block geometry: the catalog pads (at refresh) to a whole
+        # number of blocks, each a whole number of segments
+        I = data.num_items
+        self._blk = min(self.item_block, -(-I // self.seg) * self.seg)
+        self._padded_items = -(-I // self._blk) * self._blk
+        num_segments = self._padded_items // self.seg
+        self._k_seg = min(num_segments, self.oversample * k_big)
 
         self._factored = hasattr(model, "factored_eval")
         self._index = None  # set by refresh()
-        if self._factored:
-            self._query_fn = jax.jit(
-                self._quant_query if quantized else self._exact_query
-            )
-        else:
-            self._query_fn = jax.jit(self._direct_query)
+        self._query_fn = jax.jit(
+            self._factored_query if self._factored else self._direct_query
+        )
 
     # --- index build -----------------------------------------------------
 
     def refresh(self, params, frozen) -> None:
         """(Re)build the serving index from a trained state — once per model
-        publish, off the query path."""
+        publish, off the query path.
+
+        Everything the query touches lives in the index DICT and rides into
+        the jitted query as an argument: a large array captured as a jit
+        closure constant measured a fixed ~32 ms/call on this platform
+        (re-shipped through the remote-device tunnel), so nothing big may be
+        captured by closure."""
         U, I = self.data.num_users, self.data.num_items
+        # history tables are part of the index for exactly that reason
+        index = {"banned": self._train_items, "banned_counts": self._train_counts}
         if self._factored:
             uf, iv, ib = self.model.factored_eval(params, frozen)
-            # sharded tables are row-padded to the mesh multiple — strip
+            # sharded tables are row-padded to the mesh multiple — strip,
+            # then pad to the static block geometry ONCE here (padding
+            # inside the query would copy the whole catalog per call)
             uf, iv = uf[:U], iv[:I]
             ib = None if ib is None else ib[:I]
-            index = {"uf": uf, "iv": iv, "ib": ib}
+            seg, D = self.seg, iv.shape[1]
+            Ip = self._padded_items
+            S = Ip // seg
+            iv_pad = jnp.pad(iv, ((0, Ip - I), (0, 0)))
+            index.update(
+                uf=uf,
+                # stage-1 scoring copy: bf16 — full MXU rate, half the HBM
+                # traffic; candidate displacement is absorbed by the
+                # oversample margin and the fp32 rescore
+                iv_cand=iv_pad.astype(jnp.bfloat16),
+                # stage-2 rescore copy: segment-major fp32 — all `seg` rows
+                # of one candidate segment in ONE contiguous gather row
+                # (seg*D*4B DMA per segment instead of `seg` scattered row
+                # DMAs — row gathers are DMA-issue-latency bound at
+                # ~80ns/row, SPEED.md)
+                iv_seg=iv_pad.reshape(S, seg * D),
+            )
+            ib_pad = jnp.pad(ib, (0, Ip - I)) if ib is not None else None
+            index["ib_pad"] = ib_pad  # None folds out of the pytree
+            index["ib_seg"] = (
+                ib_pad.reshape(S, seg) if ib is not None else None
+            )
             if self.quantized:
                 q_items, s_items = quantize_rows(iv)
-                index.update(q_items=q_items, s_items=s_items)
+                index.update(
+                    q_items=jnp.pad(q_items, ((0, Ip - I), (0, 0))),
+                    s_items=jnp.pad(s_items, (0, Ip - I)),
+                )
             self._index = jax.device_put(index)
         else:
             ctx = self.model.precompute_eval(params, frozen)
-            self._index = {"params": params, "frozen": frozen, "ctx": ctx}
+            index.update(params=params, frozen=frozen, ctx=ctx)
+            self._index = index
 
     # --- jitted query bodies ---------------------------------------------
 
-    def _rescore(self, index, uf, ti):
-        """True-fp32 scores of a candidate set.  TPU fp32 matmuls use bf16
-        multiplies by default (~1e-3 relative error) — fine for candidate
-        GENERATION, but served scores/rankings must not depend on which
-        generation path ran, so the final candidates are rescored at
-        Precision.HIGHEST (exact fp32) in both paths."""
-        safe = jnp.where(ti == OUT_OF_RANGE_ID, 0, ti)
-        cand = jnp.take(index["iv"], safe, axis=0)  # [B, C, D]
-        s = jnp.einsum(
-            "bd,bcd->bc", uf, cand, precision=jax.lax.Precision.HIGHEST
+    def _candidates(self, index, uf):
+        """Stage 1: candidate ids [B, k_seg*seg] via segment-max streaming.
+
+        The per-block work is ONLY matmul + reshape + max; the single top-k
+        runs over the seg-times reduced [B, S] segment matrix.  All padding
+        and dtype conversion of the catalog happened at refresh()."""
+        I = self.data.num_items
+        seg, blk, Ip = self.seg, self._blk, self._padded_items
+        n_blocks = Ip // blk
+
+        if self.quantized:
+            qi_b = index["q_items"].reshape(n_blocks, blk, -1)
+            si_b = index["s_items"].reshape(n_blocks, blk)
+            qu, su = quantize_rows(uf)
+        else:
+            iv_b = index["iv_cand"].reshape(n_blocks, blk, -1)
+            uf_c = uf.astype(jnp.bfloat16)
+        ib_pad = index["ib_pad"]
+        ibb = (
+            ib_pad.reshape(n_blocks, blk)
+            if ib_pad is not None
+            else jnp.zeros((n_blocks, blk), jnp.float32)
         )
-        if index["ib"] is not None:
-            s = s + jnp.take(index["ib"], safe)
-        return jnp.where(ti == OUT_OF_RANGE_ID, -jnp.inf, s)
+        # pad slots score -inf so they never win a segment max
+        valid = (jnp.arange(Ip) < I).reshape(n_blocks, blk)
 
-    def _filtered_topk(self, index, uf, ti, user_ids):
-        s = self._rescore(index, uf, ti)
-        banned = jnp.take(self._train_items, user_ids, axis=0)
-        counts = jnp.take(self._train_counts, user_ids)
-        return filter_items_topk(s, ti, banned, counts, self.k)
+        def body(_, xs):
+            if self.quantized:
+                qi_x, si_x, ib_x, valid_x = xs
+                acc = jax.lax.dot_general(
+                    qu, qi_x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                s = acc.astype(jnp.float32) * su[:, None] * si_x[None, :]
+            else:
+                iv_x, ib_x, valid_x = xs
+                s = jax.lax.dot_general(
+                    uf_c, iv_x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            s = s + ib_x[None, :]
+            s = jnp.where(valid_x[None, :], s, -jnp.inf)
+            segmax = s.reshape(s.shape[0], blk // seg, seg).max(axis=2)
+            return None, segmax
 
-    @property
-    def _num_candidates(self) -> int:
-        # candidate generation runs at hardware-native precision (TPU fp32
-        # matmul = bf16 multiplies; int8 when quantized), which can displace
-        # near-tied items — the oversampled horizon + fp32 rescore absorbs it
-        return min(self.data.num_items, self.oversample * self._k_big)
+        xs = (
+            (qi_b, si_b, ibb, valid) if self.quantized else (iv_b, ibb, valid)
+        )
+        _, segmax = jax.lax.scan(body, None, xs)  # [n_blocks, B, blk/seg]
+        B = uf.shape[0]
+        segmax = jnp.moveaxis(segmax, 0, 1).reshape(B, -1)  # [B, S_total]
 
-    def _exact_query(self, index, user_ids):
+        _, seg_ids = jax.lax.approx_max_k(
+            segmax, self._k_seg, recall_target=1.0
+        )  # [B, k_seg]
+        seg_ids = seg_ids.astype(jnp.int32)
+        cand = (
+            seg_ids[:, :, None] * seg
+            + jnp.arange(seg, dtype=jnp.int32)[None, None, :]
+        ).reshape(B, -1)  # [B, k_seg*seg]
+        return jnp.where(cand < I, cand, OUT_OF_RANGE_ID), seg_ids
+
+    def _rescore(self, index, uf, ti, seg_ids):
+        """Stage 2: true-fp32 scores of the candidate set, Precision.HIGHEST.
+
+        Item vectors gather SEGMENT-WISE from the segment-major copy — one
+        contiguous seg*D-wide DMA per candidate segment (scattered per-item
+        row gathers measured 8x slower at the ~80ns/row issue wall) —
+        chunked over the batch to bound the [chunk, k_seg, seg*D] buffer."""
+        D = uf.shape[1]
+        has_ib = index["ib_seg"] is not None
+
+        def score_chunk(args):
+            uf_c, ti_c, seg_c = args
+            b = uf_c.shape[0]
+            cand = jnp.take(index["iv_seg"], seg_c, axis=0)  # [b, k_seg, seg*D]
+            cand = cand.reshape(b, -1, D)  # [b, k_seg*seg, D]
+            s = jnp.einsum(
+                "bd,bcd->bc", uf_c, cand,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if has_ib:
+                s = s + jnp.take(index["ib_seg"], seg_c, axis=0).reshape(b, -1)
+            return jnp.where(ti_c == OUT_OF_RANGE_ID, -jnp.inf, s)
+
+        B = uf.shape[0]
+        if B <= self.rescore_chunk:
+            return score_chunk((uf, ti, seg_ids))
+        ch = self.rescore_chunk
+        nc = B // ch  # B is a power-of-two bucket, ch a power of two
+        s = jax.lax.map(
+            score_chunk,
+            (
+                uf.reshape(nc, ch, -1),
+                ti.reshape(nc, ch, ti.shape[1]),
+                seg_ids.reshape(nc, ch, seg_ids.shape[1]),
+            ),
+        )
+        return s.reshape(B, -1)
+
+    def _filtered_topk(self, index, s, ti, user_ids):
+        """Stage 3: drop the user's train items by id, exact final top-k
+        (approx_max_k recall 1.0 — PartialReduce, not a sort)."""
+        banned = jnp.take(index["banned"], user_ids, axis=0)
+        counts = jnp.take(index["banned_counts"], user_ids)
+        valid_b = jnp.arange(banned.shape[1])[None, :] < counts[:, None]
+        is_banned = jnp.logical_and(
+            ti[:, :, None] == banned[:, None, :], valid_b[:, None, :]
+        ).any(axis=2)
+        s = jnp.where(is_banned, -jnp.inf, s)
+        vals, pos = jax.lax.approx_max_k(s, self.k, recall_target=1.0)
+        ids = jnp.take_along_axis(ti, pos, axis=1)
+        return vals, ids
+
+    def _factored_query(self, index, user_ids):
         uf = jnp.take(index["uf"], user_ids, axis=0)
-        _, ti, _ = streaming_topk_and_counts(
-            uf, index["iv"], index["ib"], self._num_candidates,
-            item_block=self.item_block,
-        )
-        return self._filtered_topk(index, uf, ti, user_ids)
-
-    def _quant_query(self, index, user_ids):
-        uf = jnp.take(index["uf"], user_ids, axis=0)
-        qu, su = quantize_rows(uf)
-        _, ti = _quantized_topc(
-            qu, su, index["q_items"], index["s_items"], index["ib"],
-            self._num_candidates, self.item_block,
-        )
-        return self._filtered_topk(index, uf, ti, user_ids)
+        ti, seg_ids = self._candidates(index, uf)
+        s = self._rescore(index, uf, ti, seg_ids)
+        return self._filtered_topk(index, s, ti, user_ids)
 
     def _direct_query(self, index, user_ids):
         I = self.data.num_items
         scores = self.model.predict_user_block(
             index["params"], index["frozen"], user_ids, index["ctx"]
         )[:, :I]
-        banned = jnp.take(self._train_items, user_ids, axis=0)
-        counts = jnp.take(self._train_counts, user_ids)
+        banned = jnp.take(index["banned"], user_ids, axis=0)
+        counts = jnp.take(index["banned_counts"], user_ids)
         # pad slots -> id I, dropped by the scatter (never a catalog column)
         P = banned.shape[1]
         drop = jnp.where(jnp.arange(P)[None, :] < counts[:, None], banned, I)
@@ -269,7 +354,10 @@ class RecServer:
         padded = np.zeros(bucket, np.int32)
         padded[:n] = user_ids
         vals, ids = self._query_fn(self._index, jnp.asarray(padded))
-        return np.asarray(ids)[:n], np.asarray(vals)[:n]
+        # one combined host fetch: each device->host readback costs a full
+        # round trip on remote-tunnel platforms (~29 ms measured here)
+        ids, vals = jax.device_get((ids, vals))
+        return ids[:n], vals[:n]
 
     def query_user(self, user_id: int) -> List[Tuple[int, float]]:
         ids, vals = self.query([user_id])

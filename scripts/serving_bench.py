@@ -1,0 +1,102 @@
+"""Serving benchmark: query latency/QPS of the RecServer index at production
+scale (default 1M users x 1M items, K=128) on one chip — exact (fp32-matmul
+candidates) vs quantized (int8 MXU candidates), over a range of query batch
+sizes.
+
+Run:  python scripts/serving_bench.py [--users 1000000 --items 1000000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.scaled_bench import make_scaled_arrays  # noqa: E402
+
+
+class _ArrayData:
+    """Interactions stand-in for bench scale (RecServer reads only these)."""
+
+    def __init__(self, num_users, num_items):
+        self.num_users = num_users
+        self.num_items = num_items
+        self.training_list = None  # history passed explicitly
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=1_000_000)
+    ap.add_argument("--items", type=int, default=1_000_000)
+    ap.add_argument("--pos_per_user", type=int, default=20)
+    ap.add_argument("--embed_k", type=int, default=128)
+    ap.add_argument("--top_k", type=int, default=20)
+    ap.add_argument("--item_block", type=int, default=65536)
+    ap.add_argument("--oversample", type=int, default=4)
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[1, 64, 1024, 4096])
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.serve import RecServer
+
+    print(f"building {args.users}x{args.items} arrays...", flush=True)
+    _, padded_pos, counts = make_scaled_arrays(
+        args.users, args.items, args.pos_per_user
+    )
+    data = _ArrayData(args.users, args.items)
+    model = BPRMF(args.users, args.items, embed_k=args.embed_k)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    print("params built", flush=True)
+
+    rng = np.random.default_rng(0)
+    out = {"config": vars(args), "paths": {}}
+    for quantized in (False, True):
+        name = "int8" if quantized else "exact"
+        srv = RecServer(
+            model, data, k=args.top_k, item_block=args.item_block,
+            quantized=quantized, oversample=args.oversample,
+            max_batch=max(args.batches),
+            history=(padded_pos, counts),
+        )
+        t0 = time.time()
+        srv.refresh(params, frozen)
+        print(f"[{name}] index refreshed in {time.time() - t0:.2f}s",
+              flush=True)
+
+        path = {}
+        for B in args.batches:
+            # warmup: compile + layout settle (two runs, CLAUDE.md)
+            for _ in range(3):
+                srv.query(rng.integers(0, args.users, B))
+            lat = []
+            for _ in range(args.iters):
+                ids = rng.integers(0, args.users, B)
+                t0 = time.time()
+                out_ids, out_vals = srv.query(ids)
+                float(out_vals[0, 0])  # value fetch = real completion
+                lat.append(time.time() - t0)
+            lat = np.asarray(lat)
+            p50, p99 = np.percentile(lat, 50), np.percentile(lat, 99)
+            qps = B / p50
+            print(
+                f"[{name}] B={B:5d}: p50 {p50 * 1e3:7.2f} ms  "
+                f"p99 {p99 * 1e3:7.2f} ms  {qps:12,.0f} QPS",
+                flush=True,
+            )
+            path[B] = {"p50_ms": p50 * 1e3, "p99_ms": p99 * 1e3, "qps": qps}
+        out["paths"][name] = path
+        del srv
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,31 @@ def test_distributed_streaming_matches_dense():
     _assert_same(dense, distributed)
 
 
+def test_distributed_store_recommendation_matches_dense(tmp_path):
+    """The mesh dump branch (sharded streaming top-k merge) against the
+    dense evaluator's dump."""
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    data = synthetic_interactions(20, 48, interactions_per_user=7, seed=6)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    params, frozen = model.init(jax.random.PRNGKey(5))
+    dense_path = str(tmp_path / "dense.tsv")
+    dist_path = str(tmp_path / "dist.tsv")
+    Evaluator(model, data, k=5, user_block=8).store_recommendation(
+        params, frozen, dense_path
+    )
+    FactoredEvaluator(
+        model, data, k=5, user_block=8, item_block=6, mesh=mesh
+    ).store_recommendation(params, frozen, dist_path)
+    dense = [l.split("\t") for l in open(dense_path)]
+    dist = [l.split("\t") for l in open(dist_path)]
+    assert [d[:2] for d in dense] == [d[:2] for d in dist]
+    np.testing.assert_allclose(
+        [float(d[2]) for d in dense], [float(d[2]) for d in dist], rtol=1e-5
+    )
+
+
 def test_streaming_store_recommendation_matches_dense(tmp_path):
     data = synthetic_interactions(20, 30, interactions_per_user=7, seed=8)
     model = BPRMF(data.num_users, data.num_items, embed_k=8)

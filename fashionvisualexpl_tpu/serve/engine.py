@@ -94,6 +94,7 @@ class RecServer:
         max_batch: int = 4096,
         rescore_chunk: int = 128,
         history: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        mesh=None,
     ):
         self.model = model
         self.data = data
@@ -103,6 +104,7 @@ class RecServer:
         self.seg = min(seg, data.num_items)
         self.max_batch = max_batch
         self.rescore_chunk = rescore_chunk
+        self.mesh = mesh
         # block must hold whole segments
         self.item_block = max(self.seg, (item_block // self.seg) * self.seg)
 
@@ -118,19 +120,34 @@ class RecServer:
         k_big = k + self._P
         if k > data.num_items:
             raise ValueError(f"k={k} exceeds catalog size {data.num_items}")
-        # static block geometry: the catalog pads (at refresh) to a whole
-        # number of blocks, each a whole number of segments
-        I = data.num_items
-        self._blk = min(self.item_block, -(-I // self.seg) * self.seg)
-        self._padded_items = -(-I // self._blk) * self._blk
-        num_segments = self._padded_items // self.seg
-        self._k_seg = min(num_segments, self.oversample * k_big)
-
         self._factored = hasattr(model, "factored_eval")
-        self._index = None  # set by refresh()
-        self._query_fn = jax.jit(
-            self._factored_query if self._factored else self._direct_query
+        if mesh is not None and not self._factored:
+            raise ValueError(
+                "mesh serving requires a factored model (factored_eval)"
+            )
+        # static block geometry, PER SHARD: each shard's item slice pads (at
+        # refresh) to a whole number of blocks, each a whole number of
+        # segments; under a mesh the catalog shards over `model`
+        from fashionvisualexpl_tpu.core.mesh import MODEL_AXIS
+
+        I = data.num_items
+        m = 1 if mesh is None else mesh.shape[MODEL_AXIS]
+        local_span = -(-I // m)
+        self._blk = min(
+            self.item_block, -(-local_span // self.seg) * self.seg
         )
+        self._local_padded = -(-local_span // self._blk) * self._blk
+        self._padded_items = self._local_padded * m
+        local_segments = self._local_padded // self.seg
+        self._k_seg = min(local_segments, self.oversample * k_big)
+
+        self._index = None  # set by refresh()
+        if mesh is not None:
+            self._query_fn = jax.jit(self._sharded_query)
+        else:
+            self._query_fn = jax.jit(
+                self._factored_query if self._factored else self._direct_query
+            )
 
     # --- index build -----------------------------------------------------
 
@@ -181,22 +198,53 @@ class RecServer:
                     q_items=jnp.pad(q_items, ((0, Ip - I), (0, 0))),
                     s_items=jnp.pad(s_items, (0, Ip - I)),
                 )
-            self._index = jax.device_put(index)
+            self._index = jax.device_put(index, self._index_shardings(index))
         else:
             ctx = self.model.precompute_eval(params, frozen)
             index.update(params=params, frozen=frozen, ctx=ctx)
             self._index = index
 
+    def _index_partition_specs(self, index):
+        """PartitionSpec per index key: catalog arrays shard their item/
+        segment axis over `model`; user-side tables replicate."""
+        from jax.sharding import PartitionSpec as P
+
+        from fashionvisualexpl_tpu.core.mesh import MODEL_AXIS
+
+        item_sharded = {
+            "iv_cand": P(MODEL_AXIS, None), "iv_seg": P(MODEL_AXIS, None),
+            "q_items": P(MODEL_AXIS, None), "ib_seg": P(MODEL_AXIS, None),
+            "ib_pad": P(MODEL_AXIS), "s_items": P(MODEL_AXIS),
+        }
+        return {
+            k: (None if v is None else item_sharded.get(k, P()))
+            for k, v in index.items()
+        }
+
+    def _index_shardings(self, index):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding
+
+        return {
+            k: (None if s is None else NamedSharding(self.mesh, s))
+            for k, s in self._index_partition_specs(index).items()
+        }
+
     # --- jitted query bodies ---------------------------------------------
 
-    def _candidates(self, index, uf):
+    def _candidates(self, index, uf, item_offset=0):
         """Stage 1: candidate ids [B, k_seg*seg] via segment-max streaming.
 
         The per-block work is ONLY matmul + reshape + max; the single top-k
         runs over the seg-times reduced [B, S] segment matrix.  All padding
-        and dtype conversion of the catalog happened at refresh()."""
+        and dtype conversion of the catalog happened at refresh().
+
+        `item_offset` is this shard's global base (0 single-device);
+        returned ids are GLOBAL, while the returned segment ids stay LOCAL
+        (stage 2 gathers from this shard's segment-major copy)."""
         I = self.data.num_items
-        seg, blk, Ip = self.seg, self._blk, self._padded_items
+        seg, blk, Ip = self.seg, self._blk, self._local_padded
         n_blocks = Ip // blk
 
         if self.quantized:
@@ -213,7 +261,7 @@ class RecServer:
             else jnp.zeros((n_blocks, blk), jnp.float32)
         )
         # pad slots score -inf so they never win a segment max
-        valid = (jnp.arange(Ip) < I).reshape(n_blocks, blk)
+        valid = ((jnp.arange(Ip) + item_offset) < I).reshape(n_blocks, blk)
 
         def body(_, xs):
             if self.quantized:
@@ -248,7 +296,7 @@ class RecServer:
         cand = (
             seg_ids[:, :, None] * seg
             + jnp.arange(seg, dtype=jnp.int32)[None, None, :]
-        ).reshape(B, -1)  # [B, k_seg*seg]
+        ).reshape(B, -1) + item_offset  # [B, k_seg*seg] global
         return jnp.where(cand < I, cand, OUT_OF_RANGE_ID), seg_ids
 
     def _rescore(self, index, uf, ti, seg_ids):
@@ -308,6 +356,44 @@ class RecServer:
         ti, seg_ids = self._candidates(index, uf)
         s = self._rescore(index, uf, ti, seg_ids)
         return self._filtered_topk(index, s, ti, user_ids)
+
+    def _sharded_query(self, index, user_ids):
+        """Distributed query: catalog row-sharded over the `model` mesh axis.
+
+        Each shard runs the full three-stage pipeline over its item slice
+        (global ids via its offset), producing its local filtered top-k; the
+        per-shard lists merge by all_gather + one small final top-k — the
+        serving counterpart of the distributed eval merge
+        (eval/factored.py::sharded_streaming_topk_and_counts)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from fashionvisualexpl_tpu.core.mesh import MODEL_AXIS
+
+        def shard_fn(index, user_ids):
+            shard = jax.lax.axis_index(MODEL_AXIS)
+            offset = shard * self._local_padded
+            uf = jnp.take(index["uf"], user_ids, axis=0)
+            ti, seg_ids = self._candidates(index, uf, offset)
+            s = self._rescore(index, uf, ti, seg_ids)
+            v, ids = self._filtered_topk(index, s, ti, user_ids)
+            all_v = jax.lax.all_gather(v, MODEL_AXIS)  # [m, B, k]
+            all_i = jax.lax.all_gather(ids, MODEL_AXIS)
+            B = v.shape[0]
+            all_v = jnp.moveaxis(all_v, 0, 1).reshape(B, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, -1)
+            mv, pos = jax.lax.top_k(all_v, self.k)  # tiny: [B, m*k]
+            mi = jnp.take_along_axis(all_i, pos, axis=1)
+            return mv, mi
+
+        fn = shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(self._index_partition_specs(index), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(index, user_ids)
 
     def _direct_query(self, index, user_ids):
         I = self.data.num_items

@@ -125,3 +125,37 @@ def test_direct_path_attentive_fashion():
     np.testing.assert_allclose(
         vals, np.take_along_axis(scores, oracle_ids, axis=1), rtol=1e-5
     )
+
+
+def test_sharded_query_matches_single_device():
+    """RecServer over an 8-way model mesh (catalog row-sharded, all_gather
+    candidate merge) must serve the same ids as the single-device engine."""
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    model, data, params, frozen = _fixture(U=40, I=100, K=8, seed=4)
+    single = RecServer(model, data, k=6, item_block=16)
+    single.refresh(params, frozen)
+    sharded = RecServer(model, data, k=6, item_block=16, mesh=mesh)
+    sharded.refresh(params, frozen)
+    users = np.arange(data.num_users, dtype=np.int32)
+    s_ids, s_vals = single.query(users)
+    m_ids, m_vals = sharded.query(users)
+    np.testing.assert_array_equal(m_ids, s_ids)
+    np.testing.assert_allclose(m_vals, s_vals, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_quantized_query_matches_single_device():
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    model, data, params, frozen = _fixture(U=30, I=120, K=16, seed=5)
+    single = RecServer(model, data, k=5, item_block=32)
+    single.refresh(params, frozen)
+    sharded = RecServer(model, data, k=5, item_block=32, mesh=mesh,
+                        quantized=True)
+    sharded.refresh(params, frozen)
+    users = np.arange(data.num_users, dtype=np.int32)
+    s_ids, _ = single.query(users)
+    m_ids, _ = sharded.query(users)
+    np.testing.assert_array_equal(m_ids, s_ids)

@@ -184,6 +184,34 @@ def copy_duplicates(args):
                 shutil.copyfile(src, dst)
 
 
+def copy_first_of_group(args):
+    """Copy the canonical (first-listed) member of each fdupes-style
+    duplicates group into a `duplicates_dir` and record the list
+    (copy_first_of_each_duplicates_group.py:12-32).  The input file is
+    fdupes output: groups of `./name` lines separated by blank lines."""
+    paths = Paths(root=args.data_root)
+    base = paths.data_dir(args.dataset)
+    suffix = "_final" if args.final else ""
+    with open(os.path.join(base, "duplicates" + suffix)) as f:
+        lines = f.read().split("\n")
+    firsts, at_group_start = [], True
+    for line in lines:
+        if not line:
+            at_group_start = True
+            continue
+        if at_group_start:
+            firsts.append(line[2:] if line.startswith("./") else line)
+            at_group_start = False
+    with open(os.path.join(base, "first_of_each" + suffix), "w") as f:
+        f.writelines(name + "\n" for name in firsts)
+    out_dir = os.path.join(base, f"duplicates_dir{suffix}")
+    os.makedirs(out_dir, exist_ok=True)
+    img_dir = paths.images(args.dataset)
+    for name in firsts:
+        shutil.copy(os.path.join(img_dir, name), out_dir)
+    print(f"copied {len(firsts)} canonical duplicates to {out_dir}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Amazon-like dataset tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -212,6 +240,13 @@ def main(argv=None):
     c.add_argument("--dataset", required=True)
     c.add_argument("--data_root", default="data")
     c.set_defaults(fn=copy_duplicates)
+
+    g = sub.add_parser("copy_first_of_group")
+    g.add_argument("--dataset", required=True)
+    g.add_argument("--data_root", default="data")
+    g.add_argument("--final", action="store_true",
+                   help="operate on the *_final duplicates file")
+    g.set_defaults(fn=copy_first_of_group)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -106,3 +106,27 @@ def test_logs_aggregation(tmp_path):
     assert len(df) == 2
     assert df.iloc[0]["reg"] == "0.01"  # best first
     assert df.iloc[0]["best_epoch"] == 2
+
+
+def test_copy_first_of_group(tmp_path):
+    """fdupes-group parsing parity (copy_first_of_each_duplicates_group.py:
+    group = consecutive ./lines, blank line separates; first of each copied)."""
+    import os
+
+    from fashionvisualexpl_tpu.cli.build_amazon import main as ba_main
+
+    base = tmp_path / "data" / "dupes"
+    img = base / "original" / "images"
+    img.mkdir(parents=True)
+    for name in ("a.jpg", "b.jpg", "c.jpg", "d.jpg", "e.jpg"):
+        (img / name).write_bytes(b"x")
+    (base / "duplicates").write_text(
+        "./a.jpg\n./b.jpg\n\n./c.jpg\n./d.jpg\n./e.jpg\n"
+    )
+    ba_main([
+        "copy_first_of_group", "--dataset", "dupes",
+        "--data_root", str(tmp_path / "data"),
+    ])
+    firsts = (base / "first_of_each").read_text().strip().split("\n")
+    assert firsts == ["a.jpg", "c.jpg"]
+    assert sorted(os.listdir(base / "duplicates_dir")) == ["a.jpg", "c.jpg"]

@@ -30,7 +30,7 @@ EMBED_K = 64
 BATCH = 256
 INTERACTIONS_PER_USER = 20
 WARMUP_EPOCHS = 1
-MEASURE_EPOCHS = 3
+MEASURE_EPOCHS = 8
 CHILD_TIMEOUT_S = 1200
 
 
@@ -58,12 +58,17 @@ def main():
         state, loss = trainer.run_epoch(state, frozen, jax.random.fold_in(key, e))
         float(loss)
 
+    # measured epochs CHAIN on device (each consumes the donated state of
+    # the previous — strictly sequential) with ONE value fetch at the end:
+    # a per-epoch fetch would bill one ~29ms remote-tunnel round trip per
+    # epoch to the device program (SPEED.md), which co-located serving
+    # would never pay
     t0 = time.time()
     for e in range(MEASURE_EPOCHS):
         state, loss = trainer.run_epoch(
             state, frozen, jax.random.fold_in(key, 100 + e)
         )
-        float(loss)  # per-epoch sync: honest end-to-end timing
+    float(loss)  # forces completion of the whole chain
     elapsed = time.time() - t0
 
     triples = MEASURE_EPOCHS * trainer.steps_per_epoch * BATCH

@@ -106,3 +106,36 @@ def test_with_replacement_sampling():
     for u, p, n in zip(users.ravel(), pos.ravel(), neg.ravel()):
         assert p in data.training_list[u]
         assert n not in data.training_list[u]
+
+
+def test_user_perm_matches_reference_epoch_semantics():
+    """Default scheme = the reference's epoch ordering (dataset.py:94-99):
+    user-contiguous runs, each user's positives in stored order, every
+    interaction consumed exactly once (up to the dropped tail)."""
+    data = synthetic_interactions(30, 40, interactions_per_user=8, seed=3)
+    batch = 16
+    steps = data.steps_per_epoch(batch)
+    users, pos, neg = sample_triplets(
+        jax.random.PRNGKey(7),
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+        data.num_items, steps, batch,
+    )
+    users, pos = np.asarray(users).ravel(), np.asarray(pos).ravel()
+    take = steps * batch
+    # (a) user runs are contiguous: each user appears in exactly one run
+    #     (except possibly the one cut by the tail truncation)
+    change = np.nonzero(np.diff(users))[0]
+    run_users = users[np.concatenate([[0], change + 1])]
+    full_runs = run_users if take == len(data.train_pairs) else run_users[:-1]
+    assert len(set(full_runs.tolist())) == len(full_runs)
+    # (b) within a run, positives appear in the user's stored order
+    starts = np.concatenate([[0], change + 1, [take]])
+    for s, e in zip(starts[:-1], starts[1:]):
+        u = users[s]
+        stored = data.training_list[u]
+        assert pos[s:e].tolist() == stored[: e - s]
+    # (c) every consumed (u, p) pair is unique (without replacement)
+    seen = set(zip(users.tolist(), pos.tolist()))
+    assert len(seen) == take

@@ -149,6 +149,16 @@ class Interactions:
         self.padded_pos, self.pos_counts = pad_sorted_positives(
             self.training_list, self.num_items
         )
+        # the user-permutation epoch sampler (data/sampler.py) derives each
+        # user's run offsets from pos_counts (deduplicated) and requires
+        # them to align with the verbatim user-major train_pairs layout —
+        # a duplicate (user, item) training interaction would silently
+        # misattribute every later user's run, so reject it loudly
+        if int(self.pos_counts.sum()) != self.train_pairs.shape[0]:
+            raise ValueError(
+                "duplicate (user, item) training interactions detected; "
+                "dedupe the training split before loading"
+            )
 
     @property
     def num_train(self) -> int:

@@ -10,17 +10,14 @@ smallest NON-positive item (r uniform in [0, num_items - c)) is
 
     j = r + k,   k = |{ t : p_t - t <= r }|
 
-and since ``p_t - t`` is non-decreasing for a strictly increasing row, k is a
-single binary search.  Rows are padded with strictly-increasing out-of-range
-sentinels (data/interactions.py:pad_sorted_positives) so the search is a
-fixed-shape vmapped `searchsorted` — no rejection, no data-dependent control
-flow, exactly uniform over the complement (the distribution the reference's
-rejection loop converges to).
+computed as one fused O(P) comparison count over the fixed-width padded rows
+(out-of-range sentinels from data/interactions.py:pad_sorted_positives never
+count) — no rejection, no data-dependent control flow, exactly uniform over
+the complement (the distribution the reference's rejection loop converges
+to).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp

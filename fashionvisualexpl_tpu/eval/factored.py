@@ -303,6 +303,9 @@ class FactoredEvaluator:
 
             srv = RecServer(
                 self.model, self.data, k=self.k,
+                # honor this evaluator's memory budget and give the dump a
+                # wide displacement margin for its bf16 candidate stage
+                item_block=self.item_block, oversample=4,
                 history=(
                     np.asarray(self._train_items),
                     np.asarray(self._train_counts),

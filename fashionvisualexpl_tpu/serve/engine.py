@@ -139,7 +139,15 @@ class RecServer:
         self._local_padded = -(-local_span // self._blk) * self._blk
         self._padded_items = self._local_padded * m
         local_segments = self._local_padded // self.seg
-        self._k_seg = min(local_segments, self.oversample * k_big)
+        # cover k from this shard's slice where possible; when a shard's
+        # whole slice holds fewer than k items, _filtered_topk pads its
+        # result to k with -inf so the cross-shard merge still works
+        self._k_seg = min(
+            local_segments,
+            max(self.oversample * k_big, -(-k // self.seg)),
+        )
+        # rescore chunking reshapes power-of-two batch buckets evenly
+        self.rescore_chunk = 1 << (max(1, self.rescore_chunk) - 1).bit_length()
 
         self._index = None  # set by refresh()
         if mesh is not None:
@@ -176,10 +184,6 @@ class RecServer:
             iv_pad = jnp.pad(iv, ((0, Ip - I), (0, 0)))
             index.update(
                 uf=uf,
-                # stage-1 scoring copy: bf16 — full MXU rate, half the HBM
-                # traffic; candidate displacement is absorbed by the
-                # oversample margin and the fp32 rescore
-                iv_cand=iv_pad.astype(jnp.bfloat16),
                 # stage-2 rescore copy: segment-major fp32 — all `seg` rows
                 # of one candidate segment in ONE contiguous gather row
                 # (seg*D*4B DMA per segment instead of `seg` scattered row
@@ -187,6 +191,12 @@ class RecServer:
                 # ~80ns/row, SPEED.md)
                 iv_seg=iv_pad.reshape(S, seg * D),
             )
+            if not self.quantized:
+                # stage-1 scoring copy: bf16 — full MXU rate, half the HBM
+                # traffic; candidate displacement is absorbed by the
+                # oversample margin and the fp32 rescore.  The quantized
+                # path scores from q_items instead (4x smaller still)
+                index["iv_cand"] = iv_pad.astype(jnp.bfloat16)
             ib_pad = jnp.pad(ib, (0, Ip - I)) if ib is not None else None
             index["ib_pad"] = ib_pad  # None folds out of the pytree
             index["ib_seg"] = (
@@ -347,8 +357,17 @@ class RecServer:
             ti[:, :, None] == banned[:, None, :], valid_b[:, None, :]
         ).any(axis=2)
         s = jnp.where(is_banned, -jnp.inf, s)
-        vals, pos = jax.lax.approx_max_k(s, self.k, recall_target=1.0)
+        # a shard whose slice holds fewer than k candidates pads to k with
+        # -inf/sentinel rows; the cross-shard merge drops them
+        kk = min(self.k, s.shape[1])
+        vals, pos = jax.lax.approx_max_k(s, kk, recall_target=1.0)
         ids = jnp.take_along_axis(ti, pos, axis=1)
+        if kk < self.k:
+            pad = self.k - kk
+            vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            ids = jnp.pad(
+                ids, ((0, 0), (0, pad)), constant_values=OUT_OF_RANGE_ID
+            )
         return vals, ids
 
     def _factored_query(self, index, user_ids):
@@ -421,6 +440,16 @@ class RecServer:
         if self._index is None:
             raise RuntimeError("RecServer.refresh(params, frozen) not called")
         user_ids = np.asarray(user_ids, np.int32).reshape(-1)
+        if user_ids.size and (
+            user_ids.min() < 0 or user_ids.max() >= self.data.num_users
+        ):
+            # jnp.take would silently clamp and serve the wrong user
+            bad = user_ids[
+                (user_ids < 0) | (user_ids >= self.data.num_users)
+            ][0]
+            raise ValueError(
+                f"user id {bad} out of range [0, {self.data.num_users})"
+            )
         if user_ids.size == 0:
             return (
                 np.zeros((0, self.k), np.int32),

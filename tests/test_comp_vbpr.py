@@ -236,9 +236,11 @@ def test_training_reduces_loss():
         U, I, sem, col, _edge_images(), tex, embed_k=8, embed_d=4,
     )
     # lr kept small: the 4096-wide CNN tower diverges chaotically at 0.05
-    # (amplifies run-to-run float reduction-order differences into a flake)
-    cfg = TrainConfig(batch_size=8, epochs=3, lr=0.005, reg=0.0,
+    # (amplifies run-to-run float reduction-order differences into a flake);
+    # at 28 triples/epoch the per-epoch loss is noisy, so compare the mean
+    # of the last epochs against the start instead of a single endpoint
+    cfg = TrainConfig(batch_size=8, epochs=6, lr=0.001, reg=0.0,
                       validation=False)
     state, frozen, results, extra = fit(model, data, cfg)
     history = extra["history"]
-    assert history[-1].loss < history[0].loss
+    assert np.mean([h.loss for h in history[-3:]]) < history[0].loss

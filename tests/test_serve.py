@@ -159,3 +159,68 @@ def test_sharded_quantized_query_matches_single_device():
     s_ids, _ = single.query(users)
     m_ids, _ = sharded.query(users)
     np.testing.assert_array_equal(m_ids, s_ids)
+
+
+def test_segment_pruning_regime_matches_oracle():
+    """k_seg << total segments: the candidate horizon actually prunes
+    (every other fixture degenerates to all-segments-candidates), so this
+    pins the segment-id arithmetic and the oversample margin for real."""
+    model, data, params, frozen = _fixture(U=16, I=4096, K=8, seed=9)
+    srv = RecServer(model, data, k=3, seg=8, item_block=512, oversample=2)
+    # prune must engage: far fewer candidate segments than segments
+    assert srv._k_seg < 4096 // 8
+    srv.refresh(params, frozen)
+    oracle_ids, oracle_vals = _oracle_topk(model, data, params, frozen, k=3)
+    ids, vals = srv.query(np.arange(data.num_users, dtype=np.int32))
+    np.testing.assert_array_equal(ids, oracle_ids)
+    np.testing.assert_allclose(vals, oracle_vals, rtol=1e-5, atol=1e-5)
+
+    quant = RecServer(model, data, k=3, seg=8, item_block=512, oversample=2,
+                      quantized=True)
+    quant.refresh(params, frozen)
+    q_ids, _ = quant.query(np.arange(data.num_users, dtype=np.int32))
+    np.testing.assert_array_equal(q_ids, oracle_ids)
+
+
+def test_query_rejects_out_of_range_user():
+    import pytest
+
+    model, data, params, frozen = _fixture(seed=6)
+    srv = RecServer(model, data, k=3)
+    srv.refresh(params, frozen)
+    with pytest.raises(ValueError, match="out of range"):
+        srv.query([0, data.num_users])
+    with pytest.raises(ValueError, match="out of range"):
+        srv.query([-1])
+
+
+def test_sharded_k_exceeding_shard_slice():
+    """k larger than one shard's item slice: per-shard results pad with
+    -inf/sentinels and the merge still assembles the exact global top-k."""
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    model, data, params, frozen = _fixture(U=10, I=48, K=8, seed=7)
+    k = 10  # > ceil(48/8) = 6 items per shard
+    single = RecServer(model, data, k=k, item_block=8)
+    single.refresh(params, frozen)
+    sharded = RecServer(model, data, k=k, item_block=8, mesh=mesh)
+    sharded.refresh(params, frozen)
+    users = np.arange(data.num_users, dtype=np.int32)
+    s_ids, s_vals = single.query(users)
+    m_ids, m_vals = sharded.query(users)
+    np.testing.assert_array_equal(m_ids, s_ids)
+    np.testing.assert_allclose(m_vals, s_vals, rtol=1e-5, atol=1e-6)
+
+
+def test_duplicate_train_pair_rejected():
+    import pytest
+
+    from fashionvisualexpl_tpu.data.interactions import Interactions
+
+    with pytest.raises(ValueError, match="duplicate"):
+        Interactions(
+            num_users=2, num_items=5,
+            training_list=[[1, 1, 2], [3]],
+            validation_list=[[], []], test_list=[[4], [0]],
+        )

@@ -224,3 +224,53 @@ def test_duplicate_train_pair_rejected():
             training_list=[[1, 1, 2], [3]],
             validation_list=[[], []], test_list=[[4], [0]],
         )
+
+
+def test_serve_fuzz_ties_and_geometries():
+    """Randomized geometries with heavily tied scores: ranked SCORES must
+    match the oracle exactly (ids are tie-ambiguous), every served id must
+    be a real non-train item carrying its true score, no duplicates."""
+    rng = np.random.default_rng(0)
+    for trial in range(6):
+        U = int(rng.integers(5, 40))
+        I = int(rng.integers(30, 300))
+        K = int(rng.choice([4, 8, 16]))
+        k = int(rng.integers(1, 8))
+        seg = int(rng.choice([4, 8, 32]))
+        item_block = int(rng.choice([16, 64, 4096]))
+        oversample = int(rng.choice([2, 4]))
+        quantized = bool(rng.integers(0, 2))
+        data = synthetic_interactions(
+            U, I, interactions_per_user=int(rng.integers(2, 6)), seed=trial
+        )
+        model = BPRMF(U, I, embed_k=K)
+        params, frozen = model.init(jax.random.PRNGKey(trial))
+        # quantize factors so many items share EXACT scores (tie storm)
+        params = {
+            name: jnp.round(arr * 2) / 2 if name != "Bi" else jnp.zeros_like(arr)
+            for name, arr in params.items()
+        }
+        srv = RecServer(model, data, k=k, seg=seg, item_block=item_block,
+                        oversample=oversample, quantized=quantized)
+        srv.refresh(params, frozen)
+        ids, vals = srv.query(np.arange(U, dtype=np.int32))
+
+        uf, iv, ib = (np.asarray(x) for x in model.factored_eval(params, frozen))
+        scores = uf[:U].astype(np.float64) @ iv[:I].T.astype(np.float64)
+        scores += ib[None, :I].astype(np.float64)
+        for u in range(U):
+            row = scores[u].copy()
+            banned = set(data.training_list[u])
+            row[list(banned)] = -np.inf
+            want = np.sort(row)[::-1][:k]
+            np.testing.assert_allclose(
+                vals[u], want, rtol=1e-5, atol=1e-6,
+                err_msg=f"trial {trial} user {u} ranked scores",
+            )
+            assert len(set(ids[u].tolist())) == k, (trial, u)
+            for j in range(k):
+                assert ids[u][j] not in banned
+                np.testing.assert_allclose(
+                    vals[u][j], row[ids[u][j]], rtol=1e-5, atol=1e-6,
+                    err_msg=f"trial {trial} user {u} served id/score pair",
+                )

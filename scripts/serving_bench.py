@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--embed_k", type=int, default=128)
     ap.add_argument("--top_k", type=int, default=20)
     ap.add_argument("--item_block", type=int, default=65536)
-    ap.add_argument("--oversample", type=int, default=4)
+    ap.add_argument("--oversample", type=int, default=2)
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[1, 64, 1024, 4096])
     ap.add_argument("--iters", type=int, default=30)

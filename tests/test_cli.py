@@ -139,3 +139,35 @@ def test_cli_serve_from_checkpoint(dataset_dir):
     out_all = os.path.join(dataset_dir, "served_all.tsv")
     serve(common + ["--users", "all", "--output", out_all])
     assert len(open(out_all).read().strip().split("\n")) == 20 * 5
+
+
+def test_cli_get_explanations(tmp_path):
+    """End-to-end explanation join (reference get_explanations.py:17-41):
+    grads dump + review text -> top-N color/edge-driven tables."""
+    from fashionvisualexpl_tpu.cli.get_explanations import main as gx_main
+
+    root = str(tmp_path)
+    ddir = os.path.join(root, "mini")
+    rdir = os.path.join(root, "results", "rec_results", "mini", "grad_fashion")
+    os.makedirs(ddir)
+    os.makedirs(rdir)
+    with open(os.path.join(ddir, "all_final.tsv"), "w") as f:
+        f.write("USER_ID\tITEM_ID\tREVIEW\n")
+        for u in range(3):
+            for i in range(4):
+                f.write(f"{u}\t{i}\treview u{u} i{i}\n")
+    with open(os.path.join(rdir, "grads.tsv"), "w") as f:
+        for u in range(3):
+            for i in range(4):
+                f.write(f"{u}\t{i}\t{0.1 * (i - u)}\t{0.05 * u}\n")
+    gx_main([
+        "--dataset", "mini", "--rec", "grad_fashion", "--file", "grads.tsv",
+        "--top_n", "5", "--data_root", root,
+        "--results_root", os.path.join(root, "results"),
+    ])
+    import pandas as pd
+
+    color = pd.read_csv(os.path.join(rdir, "color_reviews.tsv"), sep="\t")
+    edges = pd.read_csv(os.path.join(rdir, "edges_reviews.tsv"), sep="\t")
+    assert len(color) == 5 and len(edges) == 5
+    assert "REVIEW" in color.columns

@@ -313,10 +313,23 @@ class FactoredEvaluator:
             )
             srv.refresh(params, frozen)
             U = self.data.num_users
-            with open(path, "w") as out:
-                for start in range(0, U, self.user_block):
-                    users = np.arange(start, min(start + self.user_block, U))
-                    ids, vals = srv.query(users)
+            all_users, all_ids, all_vals = [], [], []
+            for start in range(0, U, self.user_block):
+                users = np.arange(start, min(start + self.user_block, U),
+                                  dtype=np.int32)
+                ids, vals = srv.query(users)
+                all_users.append(users)
+                all_ids.append(ids)
+                all_vals.append(vals)
+            users = np.concatenate(all_users)
+            ids = np.concatenate(all_ids)
+            vals = np.concatenate(all_vals)
+            from fashionvisualexpl_tpu.data.native import write_recs_tsv
+
+            # native parallel formatter (tens of seconds of Python f-string
+            # work at 10^7 rows); Python fallback without the toolchain
+            if not write_recs_tsv(path, users, ids, vals):
+                with open(path, "w") as out:
                     out.writelines(
                         f"{u}\t{ids[r, j]}\t{vals[r, j]}\n"
                         for r, u in enumerate(users)

@@ -85,8 +85,15 @@ class CnnFeatureExtractor:
                 lambda p, x: self.net.apply(p, x, output_layer=output_layer)
             )
 
+    @staticmethod
+    def _as_input(images: np.ndarray) -> np.ndarray:
+        """uint8 images normalize on entry; float input is taken as already
+        preprocessed (the offline driver preprocesses in batches)."""
+        return preprocess(images) if images.dtype == np.uint8 else images
+
     def classify(self, images: np.ndarray, filenames: Iterable[str]):
         """Imagenet classification records (CnnFeatureExtractor.py:21-28)."""
+        images = self._as_input(np.asarray(images))
         logits = np.asarray(self._logits(self.params, jnp.asarray(images)))
         out = []
         for row, fname in zip(logits, filenames):
@@ -102,6 +109,7 @@ class CnnFeatureExtractor:
         return out
 
     def extract_feature(self, images: np.ndarray) -> np.ndarray:
+        images = self._as_input(np.asarray(images))
         return np.asarray(self._features(self.params, jnp.asarray(images)))
 
 

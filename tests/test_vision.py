@@ -169,3 +169,21 @@ def test_texture_grams():
     import cv2
     want = cv2.resize(g, dsize=(8, 8), interpolation=cv2.INTER_CUBIC).flatten()
     np.testing.assert_allclose(out[0, :64], want, rtol=1e-4, atol=1e-6)
+
+
+def test_resnet152_shapes():
+    """The third backbone of the reference registry
+    (CnnFeatureExtractor.py:12-19): feature/classify shapes."""
+    from fashionvisualexpl_tpu.vision.extractors import CnnFeatureExtractor
+
+    ex = CnnFeatureExtractor(
+        output_layer="avg_pool", model_name="ResNet152", imagenet=False,
+    )
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (2, 32, 32, 3), dtype=np.uint8
+    )
+    feats = ex.extract_feature(imgs)
+    assert feats.shape == (2, 2048)
+    out = ex.classify(imgs, ["0.jpg", "1.jpg"])
+    assert len(out) == 2
+    assert {"ImageID", "ClassStr", "ClassNum", "Prob"} <= set(out[0])

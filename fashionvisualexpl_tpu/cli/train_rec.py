@@ -78,6 +78,12 @@ def build_parser(description="Run train of the Recommender Model."):
     p.add_argument("--bootstrap", action="store_true",
                    help="with-replacement triple sampling (original-BPR "
                         "bootstrap) instead of the epoch permutation")
+    p.add_argument("--sampling", choices=["user_perm", "pair_perm"],
+                   default="user_perm",
+                   help="no-replacement epoch ordering: user_perm = the "
+                        "reference's exact scheme (shuffle users, visit "
+                        "positives in stored order); pair_perm = permute "
+                        "the full interaction list")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis size")
     p.add_argument("--mesh_model", type=int, default=1,
@@ -203,6 +209,7 @@ def train(argv=None):
             best_metric=args.best_metric, seed=args.seed, paths=paths,
             mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
             train_path=args.train_path, bootstrap=args.bootstrap,
+            sampling=args.sampling,
         )
         data = Interactions.load(cfg)
 

@@ -162,8 +162,18 @@ class TrainConfig:
     # bprmf/vbpr, single-device.
     train_path: str = "generic"
     # with-replacement triple sampling (original-BPR bootstrap scheme);
-    # False = the reference's epoch-permutation scheme (dataset.py:83-114)
+    # False = the no-replacement scheme selected by `sampling`
     bootstrap: bool = False
+    # no-replacement epoch ordering: "user_perm" = the reference's exact
+    # scheme (shuffle users, visit each user's positives in stored order,
+    # dataset.py:94-99); "pair_perm" = permute the full interaction list
+    # (mixes strictly better, costs an N-element sort)
+    sampling: str = "user_perm"
+
+    @property
+    def sampling_scheme(self) -> str:
+        """The effective sample_triplets scheme for this config."""
+        return "bootstrap" if self.bootstrap else self.sampling
     # single-device packed path: fold frozen per-item feature columns into
     # the packed item rows (models declaring PackedSpec.frozen_item_tables:
     # vbpr/grad_fashion/acf), halving the row gathers per step.  Value-

@@ -186,6 +186,7 @@ def make_spmd_epoch_fn(
     num_items: int,
     steps: int,
     batch: int,
+    sampling="user_perm",
 ) -> Callable:
     """Full epoch as ONE jitted program over the mesh: on-device sampling,
     then a lax.scan of shard_mapped train steps — the multi-chip analogue of
@@ -207,7 +208,7 @@ def make_spmd_epoch_fn(
         sample_key, _step_key = jax.random.split(key)
         users, pos, neg = sample_triplets(
             sample_key, train_pairs, padded_pos, pos_counts,
-            num_items, steps, batch,
+            num_items, steps, batch, with_replacement=sampling,
         )
 
         def body(st, sb):

@@ -85,7 +85,7 @@ class Trainer:
             inner = make_generic_packed_spmd_epoch_fn(
                 model, self.mesh, cfg.lr, cfg.reg, data.num_items,
                 self.steps_per_epoch, cfg.batch_size,
-                with_replacement=cfg.bootstrap,
+                with_replacement=cfg.sampling_scheme,
             )
 
             def packed_spmd_epoch(state, frozen, key, pairs, pos, cnt):
@@ -99,6 +99,7 @@ class Trainer:
             self._epoch_fn = make_spmd_epoch_fn(
                 model, self.mesh, self.tx, cfg.reg, data.num_items,
                 self.steps_per_epoch, cfg.batch_size,
+                sampling=cfg.sampling_scheme,
             )
         elif cfg.train_path == "packed":
             self._epoch_fn = self._build_packed_epoch_fn()
@@ -120,6 +121,7 @@ class Trainer:
             users, pos, neg = sample_triplets(
                 sample_key, train_pairs, padded_pos, pos_counts,
                 num_items, steps, batch,
+                with_replacement=cfg.sampling_scheme,
             )
             step_keys = jax.random.split(step_key, steps)
 
@@ -164,7 +166,7 @@ class Trainer:
         self._fused_frozen = bool(cfg.fused_frozen and spec.frozen_item_tables)
         inner = make_generic_packed_epoch_fn(
             model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
-            with_replacement=cfg.bootstrap,
+            with_replacement=cfg.sampling_scheme,
             fused_frozen=self._fused_frozen,
         )
 

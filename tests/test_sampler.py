@@ -139,3 +139,24 @@ def test_user_perm_matches_reference_epoch_semantics():
     # (c) every consumed (u, p) pair is unique (without replacement)
     seen = set(zip(users.tolist(), pos.tolist()))
     assert len(seen) == take
+
+
+def test_bootstrap_reaches_generic_trainer_path():
+    """Regression: --bootstrap was silently ignored by the generic epoch
+    builder (it never forwarded the scheme to sample_triplets)."""
+    from fashionvisualexpl_tpu.core.config import TrainConfig
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.train.trainer import Trainer
+
+    data = synthetic_interactions(20, 30, interactions_per_user=6, seed=0)
+    losses = {}
+    for bootstrap in (False, True):
+        cfg = TrainConfig(batch_size=16, epochs=1, lr=0.01, reg=0.0,
+                          bootstrap=bootstrap, seed=0)
+        model = BPRMF(data.num_users, data.num_items, embed_k=8)
+        tr = Trainer(model, data, cfg)
+        state, frozen = tr.init_state()
+        _, loss = tr.run_epoch(state, frozen, jax.random.PRNGKey(0))
+        losses[bootstrap] = float(loss)
+    # different triple streams -> different epoch losses
+    assert losses[False] != losses[True], losses

@@ -91,11 +91,13 @@ class RecServer:
         quantized: bool = False,
         oversample: int = 2,
         seg: int = 32,
+        superseg: int = 1,
         max_batch: int = 4096,
         rescore_chunk: int = 128,
         history: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         mesh=None,
     ):
+        self._superseg = superseg
         self.model = model
         self.data = data
         self.k = k
@@ -299,15 +301,54 @@ class RecServer:
         B = uf.shape[0]
         segmax = jnp.moveaxis(segmax, 0, 1).reshape(B, -1)  # [B, S_total]
 
-        _, seg_ids = jax.lax.approx_max_k(
-            segmax, self._k_seg, recall_target=1.0
-        )  # [B, k_seg]
-        seg_ids = seg_ids.astype(jnp.int32)
+        seg_ids = self._select_segments(segmax)  # [B, k_seg] local ids
         cand = (
             seg_ids[:, :, None] * seg
             + jnp.arange(seg, dtype=jnp.int32)[None, None, :]
         ).reshape(B, -1) + item_offset  # [B, k_seg*seg] global
         return jnp.where(cand < I, cand, OUT_OF_RANGE_ID), seg_ids
+
+    def _select_segments(self, segmax):
+        """Top-k_seg segment ids from a [B, S] segment-max matrix.
+
+        For large S, select hierarchically: max-pool segments into
+        super-segments of `_superseg`, approx_max_k over the S/superseg
+        matrix, then a second (tiny) selection within the winners' pools.
+        Coverage argument as for items->segments: the super-segment holding
+        the i-th best segment ranks <= i by super-max, so the top-k_seg
+        super-segments contain the top-k_seg segments.
+
+        MEASURED NEGATIVE at the 1M-item bench (in-context A/B, B=4096):
+        flat 234ms < superseg=8 253ms < superseg=16 304ms — the per-row
+        pool gathers and extra selection cost more than the smaller
+        approx_max_k saves (a standalone microbenchmark of the big
+        approx_max_k said 97ms, but standalone numbers mislead on this
+        platform, SPEED.md).  Default superseg=1 (flat); the hierarchy is
+        kept as a correctness-tested option for catalogs where the segment
+        matrix outgrows memory."""
+        B, S = segmax.shape
+        k_seg = self._k_seg
+        R2 = self._superseg
+        if S < 4096 or R2 <= 1:  # flat selection: the matrix is small
+            _, seg_ids = jax.lax.approx_max_k(segmax, k_seg, recall_target=1.0)
+            return seg_ids.astype(jnp.int32)
+        S2 = -(-S // R2)
+        pad = S2 * R2 - S
+        sm = jnp.pad(segmax, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        super_max = sm.reshape(B, S2, R2).max(axis=2)  # [B, S2]
+        k2 = min(k_seg, S2)
+        _, sup_ids = jax.lax.approx_max_k(super_max, k2, recall_target=1.0)
+        pool = (
+            sup_ids[:, :, None].astype(jnp.int32) * R2
+            + jnp.arange(R2, dtype=jnp.int32)[None, None, :]
+        ).reshape(B, -1)  # [B, k2*R2] candidate segment ids (padded ones
+        # carry -inf segment maxes and lose the final selection)
+        pool_vals = jnp.take_along_axis(sm, pool, axis=1)
+        _, pos = jax.lax.approx_max_k(pool_vals, k_seg, recall_target=1.0)
+        # pad segments carry -inf and cannot win while >= k_seg real
+        # segments exist in the pool (guaranteed); clamp defensively so a
+        # pad id can never index out of the segment tables
+        return jnp.minimum(jnp.take_along_axis(pool, pos, axis=1), S - 1)
 
     def _rescore(self, index, uf, ti, seg_ids):
         """Stage 2: true-fp32 scores of the candidate set, Precision.HIGHEST.

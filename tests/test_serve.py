@@ -274,3 +274,16 @@ def test_serve_fuzz_ties_and_geometries():
                     vals[u][j], row[ids[u][j]], rtol=1e-5, atol=1e-6,
                     err_msg=f"trial {trial} user {u} served id/score pair",
                 )
+
+
+def test_hierarchical_segment_selection_matches_oracle():
+    """S >= 4096 engages the two-level (super-segment) selection path."""
+    model, data, params, frozen = _fixture(U=8, I=40960, K=8, seed=11)
+    srv = RecServer(model, data, k=5, seg=8, superseg=8, item_block=8192,
+                    oversample=2)
+    assert srv._padded_items // srv.seg >= 4096  # hierarchy engages
+    srv.refresh(params, frozen)
+    oracle_ids, oracle_vals = _oracle_topk(model, data, params, frozen, k=5)
+    ids, vals = srv.query(np.arange(data.num_users, dtype=np.int32))
+    np.testing.assert_array_equal(ids, oracle_ids)
+    np.testing.assert_allclose(vals, oracle_vals, rtol=1e-5, atol=1e-5)

@@ -284,11 +284,18 @@ class RecServer:
                 )
                 s = acc.astype(jnp.float32) * su[:, None] * si_x[None, :]
             else:
+                # bf16 scores throughout: the [B, blk] block materializes to
+                # HBM before the max — half the traffic, and stage-1
+                # precision is irrelevant (oversample margin + fp32 rescore)
                 iv_x, ib_x, valid_x = xs
                 s = jax.lax.dot_general(
                     uf_c, iv_x, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.bfloat16,
                 )
+                s = s + ib_x[None, :].astype(jnp.bfloat16)
+                s = jnp.where(valid_x[None, :], s, -jnp.inf)
+                segmax = s.reshape(s.shape[0], blk // seg, seg).max(axis=2)
+                return None, segmax.astype(jnp.float32)
             s = s + ib_x[None, :]
             s = jnp.where(valid_x[None, :], s, -jnp.inf)
             segmax = s.reshape(s.shape[0], blk // seg, seg).max(axis=2)

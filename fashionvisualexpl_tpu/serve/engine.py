@@ -96,8 +96,17 @@ class RecServer:
         rescore_chunk: int = 128,
         history: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         mesh=None,
+        segmax_kernel: Optional[str] = None,
     ):
         self._superseg = superseg
+        # stage-1 fused matmul+segment-max Pallas kernel (ops/segmax.py):
+        # None = auto (on TPU, off elsewhere), "on", "off", "interpret"
+        # (Pallas interpreter — CPU test path)
+        if segmax_kernel is None:
+            segmax_kernel = (
+                "on" if jax.devices()[0].platform == "tpu" else "off"
+            )
+        self._segmax_kernel = segmax_kernel
         self.model = model
         self.data = data
         self.k = k
@@ -204,6 +213,13 @@ class RecServer:
             index["ib_seg"] = (
                 ib_pad.reshape(S, seg) if ib is not None else None
             )
+            # bias + validity folded into one vector: pad items carry a
+            # large negative so the fused segmax kernel stays branch-free
+            index["ib_cand"] = jnp.where(
+                jnp.arange(Ip) < I,
+                ib_pad if ib is not None else jnp.zeros((Ip,), jnp.float32),
+                -1e30,
+            ).astype(jnp.float32)
             if self.quantized:
                 q_items, s_items = quantize_rows(iv)
                 index.update(
@@ -227,6 +243,7 @@ class RecServer:
             "iv_cand": P(MODEL_AXIS, None), "iv_seg": P(MODEL_AXIS, None),
             "q_items": P(MODEL_AXIS, None), "ib_seg": P(MODEL_AXIS, None),
             "ib_pad": P(MODEL_AXIS), "s_items": P(MODEL_AXIS),
+            "ib_cand": P(MODEL_AXIS),
         }
         return {
             k: (None if v is None else item_sharded.get(k, P()))
@@ -258,6 +275,23 @@ class RecServer:
         I = self.data.num_items
         seg, blk, Ip = self.seg, self._blk, self._local_padded
         n_blocks = Ip // blk
+
+        # fused matmul + segment-max Pallas kernel: scores stay in VMEM (the
+        # XLA scan below materializes each [B, blk] block to HBM before the
+        # reduce — measured ~6x the matmul cost).  Compiled mode needs the
+        # output block's segment dim to be a lane multiple: item_tile =
+        # seg*128; interpret mode (CPU tests) takes any geometry.
+        if not self.quantized and self._segmax_kernel in ("on", "interpret"):
+            interp = self._segmax_kernel == "interpret"
+            ti = blk if interp else seg * 128
+            if Ip % ti == 0:
+                from fashionvisualexpl_tpu.ops.segmax import segmax_scores
+
+                segmax = segmax_scores(
+                    uf.astype(jnp.bfloat16), index["iv_cand"],
+                    index["ib_cand"], seg, item_tile=ti, interpret=interp,
+                )
+                return self._ids_from_segments(segmax, seg, I, item_offset)
 
         if self.quantized:
             qi_b = index["q_items"].reshape(n_blocks, blk, -1)
@@ -307,7 +341,10 @@ class RecServer:
         _, segmax = jax.lax.scan(body, None, xs)  # [n_blocks, B, blk/seg]
         B = uf.shape[0]
         segmax = jnp.moveaxis(segmax, 0, 1).reshape(B, -1)  # [B, S_total]
+        return self._ids_from_segments(segmax, seg, I, item_offset)
 
+    def _ids_from_segments(self, segmax, seg, I, item_offset):
+        B = segmax.shape[0]
         seg_ids = self._select_segments(segmax)  # [B, k_seg] local ids
         cand = (
             seg_ids[:, :, None] * seg

@@ -287,3 +287,20 @@ def test_hierarchical_segment_selection_matches_oracle():
     ids, vals = srv.query(np.arange(data.num_users, dtype=np.int32))
     np.testing.assert_array_equal(ids, oracle_ids)
     np.testing.assert_allclose(vals, oracle_vals, rtol=1e-5, atol=1e-5)
+
+
+def test_segmax_kernel_interpret_matches_scan():
+    """The fused Pallas stage-1 kernel (interpret mode on CPU) must serve
+    identical results to the XLA scan path."""
+    model, data, params, frozen = _fixture(U=24, I=256, K=16, seed=12)
+    scan_srv = RecServer(model, data, k=5, seg=8, item_block=64,
+                         segmax_kernel="off")
+    kern_srv = RecServer(model, data, k=5, seg=8, item_block=64,
+                         segmax_kernel="interpret")
+    scan_srv.refresh(params, frozen)
+    kern_srv.refresh(params, frozen)
+    users = np.arange(data.num_users, dtype=np.int32)
+    s_ids, s_vals = scan_srv.query(users)
+    k_ids, k_vals = kern_srv.query(users)
+    np.testing.assert_array_equal(k_ids, s_ids)
+    np.testing.assert_allclose(k_vals, s_vals, rtol=1e-5, atol=1e-6)

@@ -15,6 +15,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -95,15 +96,22 @@ def serve(argv=None):
 
         if args.users == "all":
             user_ids = np.arange(data.num_users, dtype=np.int32)
+        elif os.path.exists(args.users):
+            # a file path wins over inline-id parsing, so an id-file named
+            # e.g. "123" stays readable
+            with open(args.users) as f:
+                user_ids = np.asarray(
+                    [int(line) for line in f if line.strip()], np.int32
+                )
         elif "," in args.users or args.users.isdigit():
             user_ids = np.asarray(
                 [int(x) for x in args.users.split(",") if x], np.int32
             )
         else:
-            with open(args.users) as f:
-                user_ids = np.asarray(
-                    [int(line) for line in f if line.strip()], np.int32
-                )
+            raise FileNotFoundError(
+                f"--users {args.users!r}: not a file, not 'all', '-', "
+                "a user id, or a comma-separated id list"
+            )
         t0 = time.time()
         ids, vals = srv.query(user_ids)
         dt = time.time() - t0

@@ -138,6 +138,28 @@ class Interactions:
     pos_counts: np.ndarray = field(init=False)  # [U] int32
 
     def __post_init__(self):
+        # the user-permutation epoch sampler (data/sampler.py) derives each
+        # user's run offsets from pos_counts (deduplicated) and requires
+        # them to align with the user-major train_pairs layout — a duplicate
+        # (user, item) training interaction would silently misattribute
+        # every later user's run.  The reference trains straight through
+        # duplicate rows (dataset.py load_list just appends), so a
+        # reference-format dataset may legitimately contain them: dedupe
+        # each user's row here (first-seen order preserved) with a warning
+        # rather than refusing to load.
+        n_raw = sum(len(row) for row in self.training_list)
+        deduped = [list(dict.fromkeys(row)) for row in self.training_list]
+        n_dedup = sum(len(row) for row in deduped)
+        if n_dedup != n_raw:
+            import warnings
+
+            warnings.warn(
+                f"dropped {n_raw - n_dedup} duplicate (user, item) training "
+                "interactions (first occurrence kept); the reference would "
+                "train through them, weighting those pairs more heavily",
+                stacklevel=2,
+            )
+            self.training_list = deduped
         pairs = [
             (u, i) for u, row in enumerate(self.training_list) for i in row
         ]
@@ -149,16 +171,6 @@ class Interactions:
         self.padded_pos, self.pos_counts = pad_sorted_positives(
             self.training_list, self.num_items
         )
-        # the user-permutation epoch sampler (data/sampler.py) derives each
-        # user's run offsets from pos_counts (deduplicated) and requires
-        # them to align with the verbatim user-major train_pairs layout —
-        # a duplicate (user, item) training interaction would silently
-        # misattribute every later user's run, so reject it loudly
-        if int(self.pos_counts.sum()) != self.train_pairs.shape[0]:
-            raise ValueError(
-                "duplicate (user, item) training interactions detected; "
-                "dedupe the training split before loading"
-            )
 
     @property
     def num_train(self) -> int:

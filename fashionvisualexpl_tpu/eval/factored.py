@@ -289,7 +289,9 @@ class FactoredEvaluator:
 
         print_epoch_block(self.k, epoch, total_epochs, mean_loss, rec)
 
-    def store_recommendation(self, params, frozen, path: str) -> None:
+    def store_recommendation(
+        self, params, frozen, path: str, exact: bool = False
+    ) -> None:
         """Plain top-k TSV (`user\\titem\\tscore`, train items excluded —
         the Evaluator.store_recommendation protocol, Evaluator.py:225-239)
         computed without ever materializing [U, I].
@@ -297,7 +299,15 @@ class FactoredEvaluator:
         Single-device: delegates to the serving engine's segment-max
         query pipeline (serve/engine.py) — measured ~8x the naive
         streaming-top-(k+P) pass at the 1M-item scale.  Under a mesh the
-        distributed streaming path below runs instead."""
+        distributed streaming path below runs instead.
+
+        By default candidate generation runs in bf16: the fp32 rescore is
+        exact within the candidate set, so a true top-k item would be
+        dropped only if bf16 rounding displaced it past the
+        ``oversample*(k+P)`` segment horizon — not observed in practice at
+        oversample=4, but not guaranteed.  ``exact=True`` scores stage 1 in
+        full fp32 (Precision.HIGHEST), making the dumped ranking provably
+        the true fp32 top-k at ~2x the stage-1 cost."""
         if self.mesh is None:
             from fashionvisualexpl_tpu.serve import RecServer
 
@@ -306,6 +316,7 @@ class FactoredEvaluator:
                 # honor this evaluator's memory budget and give the dump a
                 # wide displacement margin for its bf16 candidate stage
                 item_block=self.item_block, oversample=4,
+                stage1_dtype="fp32" if exact else "bf16",
                 history=(
                     np.asarray(self._train_items),
                     np.asarray(self._train_counts),

@@ -97,8 +97,18 @@ class RecServer:
         history: Optional[Tuple[np.ndarray, np.ndarray]] = None,
         mesh=None,
         segmax_kernel: Optional[str] = None,
+        stage1_dtype: str = "bf16",
     ):
         self._superseg = superseg
+        # stage-1 scoring precision: "bf16" (default — candidate displacement
+        # absorbed by the oversample margin + fp32 rescore) or "fp32" (exact
+        # candidate generation — the segment-max bound then guarantees the
+        # served top-k IS the true fp32 top-k, no margin needed)
+        if stage1_dtype not in ("bf16", "fp32"):
+            raise ValueError(f"stage1_dtype must be bf16|fp32, got {stage1_dtype}")
+        self._stage1_dtype = (
+            jnp.bfloat16 if stage1_dtype == "bf16" else jnp.float32
+        )
         # stage-1 fused matmul+segment-max Pallas kernel (ops/segmax.py):
         # None = auto (on TPU, off elsewhere), "on", "off", "interpret"
         # (Pallas interpreter — CPU test path)
@@ -203,11 +213,12 @@ class RecServer:
                 iv_seg=iv_pad.reshape(S, seg * D),
             )
             if not self.quantized:
-                # stage-1 scoring copy: bf16 — full MXU rate, half the HBM
-                # traffic; candidate displacement is absorbed by the
-                # oversample margin and the fp32 rescore.  The quantized
+                # stage-1 scoring copy: bf16 by default — full MXU rate,
+                # half the HBM traffic; candidate displacement is absorbed
+                # by the oversample margin and the fp32 rescore.  fp32 when
+                # stage1_dtype="fp32" (exact candidates).  The quantized
                 # path scores from q_items instead (4x smaller still)
-                index["iv_cand"] = iv_pad.astype(jnp.bfloat16)
+                index["iv_cand"] = iv_pad.astype(self._stage1_dtype)
             ib_pad = jnp.pad(ib, (0, Ip - I)) if ib is not None else None
             index["ib_pad"] = ib_pad  # None folds out of the pytree
             index["ib_seg"] = (
@@ -281,7 +292,11 @@ class RecServer:
         # reduce — measured ~6x the matmul cost).  Compiled mode needs the
         # output block's segment dim to be a lane multiple: item_tile =
         # seg*128; interpret mode (CPU tests) takes any geometry.
-        if not self.quantized and self._segmax_kernel in ("on", "interpret"):
+        if (
+            not self.quantized
+            and self._stage1_dtype == jnp.bfloat16
+            and self._segmax_kernel in ("on", "interpret")
+        ):
             interp = self._segmax_kernel == "interpret"
             ti = blk if interp else seg * 128
             if Ip % ti == 0:
@@ -299,7 +314,7 @@ class RecServer:
             qu, su = quantize_rows(uf)
         else:
             iv_b = index["iv_cand"].reshape(n_blocks, blk, -1)
-            uf_c = uf.astype(jnp.bfloat16)
+            uf_c = uf.astype(self._stage1_dtype)
         ib_pad = index["ib_pad"]
         ibb = (
             ib_pad.reshape(n_blocks, blk)
@@ -318,15 +333,20 @@ class RecServer:
                 )
                 s = acc.astype(jnp.float32) * su[:, None] * si_x[None, :]
             else:
-                # bf16 scores throughout: the [B, blk] block materializes to
-                # HBM before the max — half the traffic, and stage-1
-                # precision is irrelevant (oversample margin + fp32 rescore)
+                # bf16 scores throughout (default): the [B, blk] block
+                # materializes to HBM before the max — half the traffic, and
+                # stage-1 precision is irrelevant (oversample margin + fp32
+                # rescore).  fp32 mode scores exactly (HIGHEST precision)
                 iv_x, ib_x, valid_x = xs
+                exact = self._stage1_dtype == jnp.float32
                 s = jax.lax.dot_general(
                     uf_c, iv_x, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16,
+                    preferred_element_type=self._stage1_dtype,
+                    precision=(
+                        jax.lax.Precision.HIGHEST if exact else None
+                    ),
                 )
-                s = s + ib_x[None, :].astype(jnp.bfloat16)
+                s = s + ib_x[None, :].astype(self._stage1_dtype)
                 s = jnp.where(valid_x[None, :], s, -jnp.inf)
                 segmax = s.reshape(s.shape[0], blk // seg, seg).max(axis=2)
                 return None, segmax.astype(jnp.float32)
@@ -524,7 +544,10 @@ class RecServer:
         at ``max_batch``."""
         if self._index is None:
             raise RuntimeError("RecServer.refresh(params, frozen) not called")
-        user_ids = np.asarray(user_ids, np.int32).reshape(-1)
+        # validate range BEFORE the int32 cast: a wide-dtype input (e.g.
+        # int64 holding 2**32) would otherwise wrap to a small in-range
+        # value and silently serve the wrong user
+        user_ids = np.asarray(user_ids).reshape(-1)
         if user_ids.size and (
             user_ids.min() < 0 or user_ids.max() >= self.data.num_users
         ):
@@ -535,6 +558,7 @@ class RecServer:
             raise ValueError(
                 f"user id {bad} out of range [0, {self.data.num_users})"
             )
+        user_ids = user_ids.astype(np.int32)
         if user_ids.size == 0:
             return (
                 np.zeros((0, self.k), np.int32),

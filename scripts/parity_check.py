@@ -21,6 +21,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# torch (CPU) plays the reference stack; it ships in this image but is NOT a
+# framework dependency — fail with a clear message rather than a stacktrace.
+try:
+    import torch  # noqa: F401
+except ImportError:  # pragma: no cover
+    sys.exit(
+        "parity_check.py needs torch (CPU) to emulate the reference "
+        "training semantics; it is not a fashionvisualexpl_tpu dependency. "
+        "Install torch or run on an image that bundles it."
+    )
+
 if os.environ.get("PARITY_CPU", "1") == "1":
     # parity runs fine on CPU; the axon sitecustomize overrides JAX_PLATFORMS
     import jax

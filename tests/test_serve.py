@@ -43,6 +43,33 @@ def test_exact_query_matches_oracle():
     np.testing.assert_allclose(vals, oracle_vals, rtol=1e-5, atol=1e-5)
 
 
+def test_fp32_stage1_exact_mode_matches_oracle():
+    """stage1_dtype="fp32" makes candidate generation exact — the served
+    ranking is provably the true fp32 top-k even at oversample=1."""
+    model, data, params, frozen = _fixture(U=40, I=300, K=16, seed=7)
+    srv = RecServer(model, data, k=5, item_block=64, oversample=1,
+                    stage1_dtype="fp32")
+    srv.refresh(params, frozen)
+    oracle_ids, oracle_vals = _oracle_topk(model, data, params, frozen, k=5)
+    ids, vals = srv.query(np.arange(data.num_users, dtype=np.int32))
+    np.testing.assert_array_equal(ids, oracle_ids)
+    np.testing.assert_allclose(vals, oracle_vals, rtol=1e-6, atol=1e-6)
+
+
+def test_query_rejects_wide_dtype_out_of_range_ids():
+    """int64 ids that would wrap to in-range values under an int32 cast
+    must raise, not silently serve the wrong user."""
+    import pytest
+
+    model, data, params, frozen = _fixture()
+    srv = RecServer(model, data, k=3)
+    srv.refresh(params, frozen)
+    with pytest.raises(ValueError, match="out of range"):
+        srv.query(np.asarray([2**32], np.int64))  # wraps to 0 under int32
+    with pytest.raises(ValueError, match="out of range"):
+        srv.query([-1])
+
+
 def test_train_items_never_served():
     model, data, params, frozen = _fixture(seed=3)
     srv = RecServer(model, data, k=7)
@@ -213,17 +240,24 @@ def test_sharded_k_exceeding_shard_slice():
     np.testing.assert_allclose(m_vals, s_vals, rtol=1e-5, atol=1e-6)
 
 
-def test_duplicate_train_pair_rejected():
+def test_duplicate_train_pair_deduped_with_warning():
+    """Reference-format datasets may hold duplicate (user, item) training
+    rows (reference dataset.py load_list just appends); loading dedupes
+    first-seen-order with a warning instead of refusing (the user_perm
+    sampler requires dedup'd runs)."""
     import pytest
 
     from fashionvisualexpl_tpu.data.interactions import Interactions
 
-    with pytest.raises(ValueError, match="duplicate"):
-        Interactions(
+    with pytest.warns(UserWarning, match="duplicate"):
+        data = Interactions(
             num_users=2, num_items=5,
             training_list=[[1, 1, 2], [3]],
             validation_list=[[], []], test_list=[[4], [0]],
         )
+    assert data.training_list == [[1, 2], [3]]
+    assert data.num_train == 3
+    assert int(data.pos_counts.sum()) == 3
 
 
 def test_serve_fuzz_ties_and_geometries():

@@ -34,6 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--skip_cnn", action="store_true")
     p.add_argument("--skip_low", action="store_true")
+    p.add_argument("--torch_weights", type=str, default=None,
+                   help="pretrained torchvision state dict (.npz or "
+                        ".pt/.pth) for --cnn_model; omitting it runs "
+                        "random-init (shape/speed only, not semantic "
+                        "features)")
     return p.parse_args(argv)
 
 
@@ -64,7 +69,8 @@ def extract(argv=None):
 
     if not args.skip_cnn:
         cnn = CnnFeatureExtractor(
-            output_layer=args.output_layer, model_name=args.cnn_model
+            output_layer=args.output_layer, model_name=args.cnn_model,
+            torch_weights=args.torch_weights,
         )
         feats: List[np.ndarray] = []
         records = []

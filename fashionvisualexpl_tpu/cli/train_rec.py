@@ -70,6 +70,19 @@ def build_parser(description="Run train of the Recommender Model."):
                         "the MXU at full rate; params/loss stay fp32")
     p.add_argument("--streaming_eval", action="store_true",
                    help="use the blocked streaming evaluator (factored models)")
+    p.add_argument("--streamed", action="store_true",
+                   help="attentive_fashion only: keep the modality tensors "
+                        "on HOST (memmap) and stream per-batch feature "
+                        "gathers through a double-buffered prefetcher "
+                        "(train/streamed.py) — for catalogs whose edge "
+                        "stack exceeds HBM.  Builds/loads the single-file "
+                        "edges_stack.npy next to the edge tiffs")
+    p.add_argument("--fused_frozen", type=lambda s: s not in ("0", "False", "false"),
+                   default=True,
+                   help="packed path: fold frozen per-item feature columns "
+                        "into the packed item rows (halves row gathers per "
+                        "step; costs one extra HBM copy of those tables — "
+                        "pass 0 when the feature matrix doesn't fit twice)")
     p.add_argument("--train_path", choices=["generic", "packed"],
                    default="generic",
                    help="packed = packed-state rows + LazyAdam "
@@ -121,19 +134,35 @@ def build_model(args, data, cfg):
             embed_color=args.embed_color, embed_edges=args.embed_edges,
         )
     if args.rec == "attentive_fashion":
-        from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
         from fashionvisualexpl_tpu.models.attentive_fashion import AttentiveFashion
 
         color = F.load_color_histograms(paths, ds)
         cls = F.load_class_onehot(paths, ds)
-        edges = load_edge_image_stack(
-            paths.edges_dir(ds), data.num_items, hw=tuple(args.edge_hw)
-        )
+        streamed = getattr(args, "streamed", False)
+        if streamed:
+            # >HBM path: one-time single-file stack, then a read-only memmap
+            # that never materializes on host OR device
+            from fashionvisualexpl_tpu.data.pipeline import build_edge_stack_npy
+
+            stack = paths.edges_stack(ds)
+            if not os.path.exists(stack):
+                build_edge_stack_npy(
+                    paths.edges_dir(ds), stack, data.num_items,
+                    hw=tuple(args.edge_hw),
+                )
+            edges = np.load(stack, mmap_mode="r")
+        else:
+            from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
+
+            edges = load_edge_image_stack(
+                paths.edges_dir(ds), data.num_items, hw=tuple(args.edge_hw)
+            )
         return AttentiveFashion(
             data.num_users, data.num_items, color, edges, cls,
             embed_k=args.embed_k,
             attention_layers=tuple(args.attention_layers),
             compute_dtype=args.compute_dtype,
+            host_features=streamed,
         )
     if args.rec == "comp_vbpr":
         from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
@@ -209,7 +238,7 @@ def train(argv=None):
             best_metric=args.best_metric, seed=args.seed, paths=paths,
             mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
             train_path=args.train_path, bootstrap=args.bootstrap,
-            sampling=args.sampling,
+            sampling=args.sampling, fused_frozen=args.fused_frozen,
         )
         data = Interactions.load(cfg)
 
@@ -238,11 +267,29 @@ def train(argv=None):
             f"batch_{cfg.batch_size}-K_{args.embed_k}-lr_{cfg.lr}-reg_{cfg.reg}"
         )
         logger = JsonlLogger(os.path.join(results_dir, f"log-{run_tag}.jsonl"))
-        state, frozen, results, extra = fit(
-            model, data, cfg, evaluator=evaluator, log=logger.log,
-            ckpt_dir=os.path.join(weight_dir, f"ckpt-{run_tag}"),
-            resume=args.resume,
-        )
+        if args.streamed:
+            if args.rec != "attentive_fashion":
+                raise SystemExit(
+                    "--streamed supports attentive_fashion only (the one "
+                    "model whose modality stack can exceed HBM)"
+                )
+            from fashionvisualexpl_tpu.train.streamed import (
+                ArrayFeatureStore, fit_streamed,
+            )
+
+            store = ArrayFeatureStore(model._color, model._edges, model._class)
+            state, frozen, results, extra = fit_streamed(
+                model, data, cfg, store, evaluator=evaluator,
+                log=logger.log,
+                ckpt_dir=os.path.join(weight_dir, f"ckpt-{run_tag}"),
+                resume=args.resume,
+            )
+        else:
+            state, frozen, results, extra = fit(
+                model, data, cfg, evaluator=evaluator, log=logger.log,
+                ckpt_dir=os.path.join(weight_dir, f"ckpt-{run_tag}"),
+                resume=args.resume,
+            )
         logger.close()
 
         # dumps in the reference layout (BPRMF.py:167-184)

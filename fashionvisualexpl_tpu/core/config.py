@@ -114,6 +114,12 @@ class Paths:
     def edges_dir(self, dataset: str) -> str:
         return os.path.join(self.features_dir(dataset), "edges")
 
+    def edges_stack(self, dataset: str) -> str:
+        """Single-file float32 stack of the per-item edge tiffs
+        (data/pipeline.py::build_edge_stack_npy) — memmap-consumed by the
+        streamed >HBM trainer (cli/train_rec.py --streamed)."""
+        return os.path.join(self.features_dir(dataset), "edges_stack.npy")
+
     # --- results (configs.py:32-33) ---
     def weight_dir(self, dataset: str, rec: str) -> str:
         return os.path.join(self.results_root, "rec_model_weights", dataset, rec)

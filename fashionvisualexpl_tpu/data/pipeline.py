@@ -33,6 +33,32 @@ def load_edge_image_stack(
     return out
 
 
+def build_edge_stack_npy(
+    edges_dir: str,
+    out_path: str,
+    num_items: int,
+    hw: Tuple[int, int] = (224, 224),
+) -> None:
+    """One-time materialization of the per-item edge tiffs into a single
+    float32 .npy stack written INCREMENTALLY through an np.lib.format
+    memmap — peak host RAM stays one image, so catalogs whose edge stack
+    exceeds RAM/HBM can still be built, then consumed via
+    ``np.load(out_path, mmap_mode='r')`` by the streamed trainer."""
+    from numpy.lib.format import open_memmap
+    from PIL import Image
+
+    out = open_memmap(
+        out_path, mode="w+", dtype=np.float32,
+        shape=(num_items, hw[0], hw[1], 1),
+    )
+    for i in range(num_items):
+        path = os.path.join(edges_dir, f"{i}.tiff")
+        im = Image.open(path).convert("L").resize((hw[1], hw[0]))
+        out[i, :, :, 0] = np.asarray(im, dtype=np.float32) / 255.0
+    out.flush()
+    del out
+
+
 def load_spatial_feature_stack(split_dir: str, num_items: int) -> np.ndarray:
     """Stack per-item spatial CNN features ({split_dir}/{item}.npy, reference
     ACF.py:140-150) into [I, S, C] float32, flattening H x W -> S."""

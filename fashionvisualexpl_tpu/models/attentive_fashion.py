@@ -73,6 +73,7 @@ class AttentiveFashion(RecommenderModel):
         conv_filters: int = 64,
         item_block: int = 1024,
         compute_dtype: str = "float32",
+        host_features: bool = False,
     ):
         super().__init__(num_users, num_items)
         for f, nm in (
@@ -91,6 +92,13 @@ class AttentiveFashion(RecommenderModel):
         self.item_block = item_block
         self.dim_c = int(color_features.shape[1])
         self.dim_cls = int(class_features.shape[1])
+        # host_features=True keeps the modality tensors on HOST (np.memmap
+        # welcome — pass float32 memmaps so asarray stays a no-copy view):
+        # init() then returns an EMPTY frozen pytree, training goes through
+        # loss_streamed (train/streamed.py) and eval encodes items in
+        # host-streamed blocks — the >HBM catalog path, playing the role of
+        # the reference's tf.py_function image pipeline (dataset.py:124-139)
+        self.host_features = host_features
         self._color = np.asarray(color_features, np.float32)
         self._edges = np.asarray(edge_images, np.float32)
         self._class = np.asarray(class_features, np.float32)
@@ -126,6 +134,11 @@ class AttentiveFashion(RecommenderModel):
             },
             "attention": self._init_attention(next(ks)),
         }
+        if self.host_features:
+            # modality tensors never ship to HBM wholesale; training gathers
+            # per-batch rows on host (train/streamed.py), eval encodes in
+            # host-streamed blocks (precompute_eval)
+            return params, {}
         frozen = {
             "Fc": jnp.asarray(self._color),
             "Fe_img": jnp.asarray(self._edges),
@@ -303,8 +316,36 @@ class AttentiveFashion(RecommenderModel):
         return self._score_from_encoded(params, gamma_u, gamma_i, e_items)
 
     def precompute_eval(self, params, frozen):
-        """Encode every item once per evaluation (no dropout)."""
-        return self.encode_items(params, frozen)  # [I, 3, K]
+        """Encode every item once per evaluation (no dropout).
+
+        host_features mode streams fixed-shape item blocks from the host
+        arrays through one jitted encoder program instead of reading the
+        (absent) device-resident frozen stacks — only the [I, 3, K] encoded
+        cache ever lives in HBM, not the [I, H, W, 1] images."""
+        if not self.host_features:
+            return self.encode_items(params, frozen)  # [I, 3, K]
+        blk = min(self.item_block, self.num_items)
+        enc = self._host_block_encoder()
+        outs = []
+        col_buf = np.zeros((blk, self.dim_c), np.float32)
+        img_buf = np.zeros((blk,) + self._edges.shape[1:], np.float32)
+        cls_buf = np.zeros((blk, self.dim_cls), np.float32)
+        for s in range(0, self.num_items, blk):
+            e = min(s + blk, self.num_items)
+            n = e - s
+            # final block pads to blk — ONE compiled program for all blocks
+            col_buf[:n] = self._color[s:e]
+            img_buf[:n] = self._edges[s:e]
+            cls_buf[:n] = self._class[s:e]
+            outs.append(np.asarray(enc(params, col_buf, img_buf, cls_buf))[:n])
+        return jnp.asarray(np.concatenate(outs, axis=0))  # [I, 3, K]
+
+    def _host_block_encoder(self):
+        if not hasattr(self, "_enc_jit"):
+            self._enc_jit = jax.jit(
+                lambda p, col, img, cls: self.encode_batch(p, col, img, cls)
+            )
+        return self._enc_jit
 
     def _scores_against_all(self, params, gamma_u, e_items, Gi):
         """[B_u, I] scores for a user block against cached item encodings,

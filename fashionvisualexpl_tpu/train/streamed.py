@@ -65,12 +65,19 @@ def fit_streamed(
     store: ArrayFeatureStore,
     evaluator=None,
     prefetch_depth: int = 2,
+    log: Optional[Callable[[Dict], None]] = None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
 ):
-    """Training loop with host-streamed modality features.
+    """Training loop with host-streamed modality features — the same
+    surface as train/trainer.py::fit (evaluation cadence, best-model
+    tracking, JSONL logging, checkpoint/resume), returning
+    (state, frozen, results, extra).
 
     Requires the model to implement loss_streamed(params, users, pos, neg,
     feats, reg, rng) (AttentiveFashion does).  Eval still uses the
-    evaluator's path (items encoded once per evaluation)."""
+    evaluator's path (items encoded once per evaluation; in
+    host_features mode the model streams eval blocks from host too)."""
     tx = tf_parity_adam(cfg.lr)
     params, frozen = model.init(jax.random.PRNGKey(cfg.seed))
     state = create_train_state(params, tx)
@@ -89,9 +96,25 @@ def fit_streamed(
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return apply_gradients(state, grads, tx), loss
 
-    results = {}
+    ckpt = None
+    start_epoch = 1
+    if ckpt_dir is not None:
+        from fashionvisualexpl_tpu.core.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(ckpt_dir)
+        if resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            start_epoch = int(ckpt.latest_step()) + 1
+
+    results: Dict[int, Dict[str, float]] = {}
+    history = []
+    best_params = jax.tree_util.tree_map(jnp.copy, state.params)
+    best_epoch = 0
+    best_value = -float("inf")
+    metric_key = cfg.best_metric + "_v"
+
     key = jax.random.PRNGKey(cfg.seed + 1)
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         ekey = jax.random.fold_in(key, epoch)
         users, pos, neg = sample_triplets(
             ekey, train_pairs, padded_pos, pos_counts,
@@ -120,6 +143,46 @@ def fit_streamed(
                 {k: jnp.asarray(v) for k, v in feats.items()}, step_rng,
             )
             total += float(loss)
+        train_time = time.time() - t0
+
+        eval_time = 0.0
+        metrics = None
         if evaluator is not None and epoch % cfg.eval_every == 0:
-            results[epoch] = evaluator.evaluate(state.params, frozen)
-    return state, frozen, results
+            t1 = time.time()
+            metrics = evaluator.evaluate(state.params, frozen)
+            eval_time = time.time() - t1
+            results[epoch] = metrics
+            if hasattr(evaluator, "print_epoch"):
+                from fashionvisualexpl_tpu.train.trainer import EpochResult
+
+                evaluator.print_epoch(
+                    epoch, cfg.epochs, total / max(steps, 1),
+                    EpochResult(epoch=epoch, loss=total,
+                                train_time_s=train_time,
+                                eval_time_s=eval_time, metrics=metrics),
+                )
+            if metrics.get(metric_key, -float("inf")) >= best_value:
+                best_value = metrics[metric_key]
+                best_epoch = epoch
+                best_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        history.append(
+            {"epoch": epoch, "loss": total, "train_time_s": train_time,
+             "eval_time_s": eval_time, "metrics": metrics}
+        )
+        if ckpt is not None and cfg.verbose > 0 and (
+            epoch % cfg.verbose == 0 or epoch == 1
+        ):
+            ckpt.save(epoch, state)
+        if log is not None:
+            log({"epoch": epoch, "loss": total, "train_time_s": train_time,
+                 "eval_time_s": eval_time, **(metrics or {})})
+
+    if ckpt is not None:
+        ckpt.save_best(best_params)
+        ckpt.close()
+
+    return state, frozen, results, {
+        "history": history,
+        "best_params": best_params,
+        "best_epoch": best_epoch,
+    }

@@ -4,10 +4,12 @@ The reference wraps Keras pretrained ResNet50/VGG19/ResNet152
 (src/vision/CnnFeatureExtractor.py:12-19).  Here the backbones are
 implemented functionally in jnp so extraction runs as one jitted TPU program
 (BASELINE.json config 3: on-the-fly ResNet-50 path); pretrained weights can
-be imported from a torchvision state_dict file when available
-(`load_torch_resnet50_state_dict`) — this image has no network egress, so
-random init is the default and the import path is exercised with
-synthetic state dicts in tests.
+be imported from torchvision state_dict files when available
+(`load_torch_resnet50_state_dict` / `load_torch_resnet152_state_dict` /
+`load_torch_vgg19_state_dict`, file loader `load_state_dict_file`) — this
+image has no network egress, so random init is the default; the importers'
+numerics are pinned against torch eval-mode inference on seeded random
+weights in tests/test_vision.py (<=1e-4 relative error).
 """
 
 from __future__ import annotations
@@ -145,6 +147,7 @@ class VGG19:
         h, w = input_hw
         for _ in range(5):
             h = -(-h // 2); w = -(-w // 2)
+        self.feat_hw = (h, w)  # block5_pool spatial dims (7x7 at 224)
         self.flat_dim = h * w * 512
 
     def init(self, rng: jax.Array) -> Dict[str, Any]:
@@ -188,12 +191,16 @@ class VGG19:
         return fc2 @ params["fc3_W"] + params["fc3_b"]  # 'predictions'
 
 
-def load_torch_resnet50_state_dict(
+def load_torch_resnet_state_dict(
     model: ResNet, state_dict: Dict[str, np.ndarray]
 ) -> Dict[str, Any]:
-    """Convert a torchvision resnet50 state_dict (OIHW) into this module's
-    params (HWIO).  Works on any dict with torchvision's key layout —
-    usable offline once weights are shipped to the machine."""
+    """Convert a torchvision resnet50/101/152 state_dict (OIHW) into this
+    module's params (HWIO) — the block layout comes from `model.blocks`, so
+    one converter covers every bottleneck depth.  Works on any dict with
+    torchvision's key layout (reference CnnFeatureExtractor.py:12-19 wraps
+    the Keras pretrained equivalents) — usable offline once weights are
+    shipped to the machine.  Numerical parity vs torch eval-mode inference
+    is pinned to <=1e-4 relative error in tests/test_vision.py."""
 
     def w(name):  # OIHW -> HWIO
         return jnp.asarray(np.transpose(state_dict[name], (2, 3, 1, 0)))
@@ -225,3 +232,105 @@ def load_torch_resnet50_state_dict(
                 blk["bnd"] = bn(f"{t}.downsample.1")
             p[f"s{s}b{b}"] = blk
     return p
+
+
+def _check_resnet_depth(model: ResNet, state_dict, blocks, name: str):
+    if model.blocks != blocks:
+        raise ValueError(
+            f"{name} importer called on a ResNet with blocks={model.blocks}; "
+            f"expected {blocks}"
+        )
+    # layer3 is the depth-discriminating stage (6 vs 36 blocks)
+    last = f"layer3.{blocks[2] - 1}.conv3.weight"
+    if last not in state_dict or f"layer3.{blocks[2]}.conv3.weight" in state_dict:
+        raise KeyError(
+            f"state dict is not a torchvision {name} (block-count mismatch "
+            f"at {last})"
+        )
+
+
+def load_torch_resnet50_state_dict(
+    model: ResNet, state_dict: Dict[str, np.ndarray]
+) -> Dict[str, Any]:
+    """torchvision resnet50 -> JAX params (see load_torch_resnet_state_dict)."""
+    _check_resnet_depth(model, state_dict, RESNET50_BLOCKS, "resnet50")
+    return load_torch_resnet_state_dict(model, state_dict)
+
+
+def load_torch_resnet152_state_dict(
+    model: ResNet, state_dict: Dict[str, np.ndarray]
+) -> Dict[str, Any]:
+    """torchvision resnet152 -> JAX params (see load_torch_resnet_state_dict)."""
+    _check_resnet_depth(model, state_dict, RESNET152_BLOCKS, "resnet152")
+    return load_torch_resnet_state_dict(model, state_dict)
+
+
+# torchvision vgg19 conv layer indices inside the `features` Sequential
+# (ReLU/MaxPool occupy the gaps): 16 convs across the 5 stages of VGG19_CFG
+_VGG19_TORCH_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
+
+
+def load_torch_vgg19_state_dict(
+    model: VGG19, state_dict: Dict[str, np.ndarray]
+) -> Dict[str, Any]:
+    """Convert a torchvision vgg19 state_dict into this module's params.
+
+    Convs transpose OIHW -> HWIO; the first classifier Linear additionally
+    permutes its input axis from torch's CHW flatten order to this module's
+    HWC flatten (block5_pool is [B, h, w, 512] here, [B, 512, h, w] there).
+    The reference extracts 'fc2' from Keras VGG19 (CnnFeatureExtractor.py:
+    12-35, train_rec.py:41); torchvision's classifier.{0,3,6} play
+    fc1/fc2/predictions.  Requires `model.flat_dim` to match the state
+    dict's classifier input (25088 <=> 224x224 inputs)."""
+
+    def w(name):  # OIHW -> HWIO
+        return jnp.asarray(np.transpose(state_dict[name], (2, 3, 1, 0)))
+
+    p: Dict[str, Any] = {}
+    k = 0
+    for s, stage in enumerate(VGG19_CFG):
+        for b, _ in enumerate(stage):
+            idx = _VGG19_TORCH_CONV_IDX[k]
+            p[f"c{s}_{b}_W"] = w(f"features.{idx}.weight")
+            p[f"c{s}_{b}_b"] = jnp.asarray(state_dict[f"features.{idx}.bias"])
+            k += 1
+
+    fc1 = np.asarray(state_dict["classifier.0.weight"])  # [4096, 512*h*w]
+    if fc1.shape[1] != model.flat_dim:
+        raise ValueError(
+            f"classifier.0 expects flat dim {fc1.shape[1]}, model has "
+            f"{model.flat_dim} (construct VGG19(input_hw=...) to match; "
+            f"torchvision's 25088 corresponds to 224x224 inputs)"
+        )
+    h, wdim = model.feat_hw
+    # CHW -> HWC flatten permutation, then [in, out] orientation
+    fc1 = (
+        fc1.reshape(4096, 512, h, wdim)
+        .transpose(0, 2, 3, 1)
+        .reshape(4096, model.flat_dim)
+        .T
+    )
+    p["fc1_W"] = jnp.asarray(np.ascontiguousarray(fc1))
+    p["fc1_b"] = jnp.asarray(state_dict["classifier.0.bias"])
+    p["fc2_W"] = jnp.asarray(np.transpose(state_dict["classifier.3.weight"]))
+    p["fc2_b"] = jnp.asarray(state_dict["classifier.3.bias"])
+    p["fc3_W"] = jnp.asarray(np.transpose(state_dict["classifier.6.weight"]))
+    p["fc3_b"] = jnp.asarray(state_dict["classifier.6.bias"])
+    return p
+
+
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a state dict shipped as .npz (numpy, no torch needed) or
+    .pt/.pth (torch.load, guarded import) into a name->ndarray dict."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            f"loading {path} needs torch; re-ship the weights as .npz "
+            "(np.savez(path, **{k: v.numpy() for k, v in sd.items()}))"
+        ) from e
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}

@@ -50,6 +50,7 @@ class CnnFeatureExtractor:
         imagenet: Optional[Dict[int, str]] = None,
         params=None,
         rng: Optional[jax.Array] = None,
+        torch_weights: Optional[str] = None,
     ):
         self.model_name = model_name
         self.output_layer = output_layer
@@ -65,6 +66,24 @@ class CnnFeatureExtractor:
             raise NotImplementedError(
                 "This feature extractor has not been added yet!"
             )
+        if torch_weights is not None:
+            # pretrained torchvision state dict (.npz or .pt/.pth) — the
+            # semantic-feature path (reference uses Keras imagenet weights,
+            # CnnFeatureExtractor.py:12-19)
+            from fashionvisualexpl_tpu.vision.backbones import (
+                load_state_dict_file,
+                load_torch_resnet152_state_dict,
+                load_torch_resnet50_state_dict,
+                load_torch_vgg19_state_dict,
+            )
+
+            sd = load_state_dict_file(torch_weights)
+            loader = {
+                "ResNet50": load_torch_resnet50_state_dict,
+                "ResNet152": load_torch_resnet152_state_dict,
+                "VGG19": load_torch_vgg19_state_dict,
+            }[model_name]
+            params = loader(self.net, sd)
         self.params = params if params is not None else self.net.init(rng)
 
         if isinstance(self.net, ResNet):

@@ -67,6 +67,29 @@ def test_cli_streaming_eval(dataset_dir):
     assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
 
 
+def test_cli_streamed_attentive(dataset_dir):
+    """--streamed: host-memmap features, empty frozen, streamed trainer —
+    the >HBM configuration reachable from the CLI."""
+    rdir = _run(dataset_dir, "attentive_fashion", extra=("--streamed",))
+    recs = glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+    assert recs, os.listdir(rdir)
+    assert len(open(recs[0]).read().strip().split("\n")) == 20 * 5
+    # the one-time single-file edge stack was materialized for the memmap
+    stack = os.path.join(
+        dataset_dir, "synthetic", "original", "features", "edges_stack.npy"
+    )
+    assert os.path.exists(stack)
+    assert np.load(stack, mmap_mode="r").shape == (24, 16, 16, 1)
+    # attention dump still works off the host-streamed eval encoder
+    assert glob.glob(os.path.join(rdir, "best-att-recs-*.tsv"))
+
+
+def test_cli_fused_frozen_off(dataset_dir):
+    rdir = _run(dataset_dir, "vbpr",
+                extra=("--train_path", "packed", "--fused_frozen", "0"))
+    assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+
+
 def test_cli_reg_sweep(dataset_dir):
     rdir = _run(dataset_dir, "bprmf",
                 extra=("--list_of_regs", "0.0", "0.01"))

@@ -187,3 +187,240 @@ def test_resnet152_shapes():
     out = ex.classify(imgs, ["0.jpg", "1.jpg"])
     assert len(out) == 2
     assert {"ImageID", "ClassStr", "ClassNum", "Prob"} <= set(out[0])
+
+
+# --- torch numerical-parity fixtures ---------------------------------------
+# torchvision itself is not in this image, so the reference stack is torch
+# functional ops driven by a torchvision-LAYOUT state dict: this pins BOTH
+# the importers' weight-layout conversion AND the JAX backbones' semantics
+# (padding, pooling, bn eps, flatten order) against an independent
+# implementation.  Real pretrained .pt/.npz files drop into the exact same
+# loader path (CnnFeatureExtractor(torch_weights=...)).
+
+torch = pytest.importorskip("torch")
+
+
+def _bn_sd(sd, prefix, c, g):
+    sd[f"{prefix}.weight"] = (torch.rand(c, generator=g) * 0.5 + 0.75)
+    sd[f"{prefix}.bias"] = torch.randn(c, generator=g) * 0.1
+    sd[f"{prefix}.running_mean"] = torch.randn(c, generator=g) * 0.1
+    sd[f"{prefix}.running_var"] = torch.rand(c, generator=g) * 0.5 + 0.75
+
+
+def _w(g, *shape):
+    fan_in = int(np.prod(shape[1:])) or 1
+    return torch.randn(*shape, generator=g) / np.sqrt(fan_in)
+
+
+def _torch_resnet_sd(blocks, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    sd = {"conv1.weight": _w(g, 64, 3, 7, 7)}
+    _bn_sd(sd, "bn1", 64, g)
+    in_c = 64
+    for s, (n, out_c) in enumerate(zip(blocks, (256, 512, 1024, 2048))):
+        mid = out_c // 4
+        for b in range(n):
+            t = f"layer{s + 1}.{b}"
+            sd[f"{t}.conv1.weight"] = _w(g, mid, in_c, 1, 1)
+            _bn_sd(sd, f"{t}.bn1", mid, g)
+            sd[f"{t}.conv2.weight"] = _w(g, mid, mid, 3, 3)
+            _bn_sd(sd, f"{t}.bn2", mid, g)
+            sd[f"{t}.conv3.weight"] = _w(g, out_c, mid, 1, 1)
+            _bn_sd(sd, f"{t}.bn3", out_c, g)
+            if b == 0:
+                sd[f"{t}.downsample.0.weight"] = _w(g, out_c, in_c, 1, 1)
+                _bn_sd(sd, f"{t}.downsample.1", out_c, g)
+            in_c = out_c
+    sd["fc.weight"] = _w(g, 1000, 2048)
+    sd["fc.bias"] = torch.randn(1000, generator=g) * 0.1
+    return sd
+
+
+def _torch_resnet_forward(sd, x, blocks):
+    """torchvision resnet eval-mode forward (Bottleneck v1.5: stride on
+    conv2) implemented with torch functional ops."""
+    import torch.nn.functional as Fn
+
+    def bn(y, p):
+        return Fn.batch_norm(
+            y, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+            sd[f"{p}.weight"], sd[f"{p}.bias"], training=False, eps=1e-5,
+        )
+
+    y = Fn.relu(bn(Fn.conv2d(x, sd["conv1.weight"], stride=2, padding=3), "bn1"))
+    y = Fn.max_pool2d(y, 3, stride=2, padding=1)
+    for s, n in enumerate(blocks):
+        for b in range(n):
+            t = f"layer{s + 1}.{b}"
+            stride = 2 if (b == 0 and s > 0) else 1
+            h = Fn.relu(bn(Fn.conv2d(y, sd[f"{t}.conv1.weight"]), f"{t}.bn1"))
+            h = Fn.relu(bn(
+                Fn.conv2d(h, sd[f"{t}.conv2.weight"], stride=stride, padding=1),
+                f"{t}.bn2",
+            ))
+            h = bn(Fn.conv2d(h, sd[f"{t}.conv3.weight"]), f"{t}.bn3")
+            if f"{t}.downsample.0.weight" in sd:
+                y = bn(
+                    Fn.conv2d(y, sd[f"{t}.downsample.0.weight"], stride=stride),
+                    f"{t}.downsample.1",
+                )
+            y = Fn.relu(y + h)
+    spatial = y
+    pooled = y.mean(dim=(2, 3))
+    logits = pooled @ sd["fc.weight"].T + sd["fc.bias"]
+    return spatial, pooled, logits
+
+
+def _np_sd(sd):
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+@pytest.mark.parametrize("blocks,name", [
+    ((3, 4, 6, 3), "resnet50"),
+    ((3, 8, 36, 3), "resnet152"),
+])
+def test_resnet_torch_numerical_parity(blocks, name):
+    from fashionvisualexpl_tpu.vision.backbones import (
+        load_torch_resnet152_state_dict,
+        load_torch_resnet50_state_dict,
+    )
+
+    sd = _torch_resnet_sd(blocks, seed=3)
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        spatial_t, pooled_t, logits_t = _torch_resnet_forward(sd, x, blocks)
+
+    net = ResNet(blocks)
+    loader = (load_torch_resnet50_state_dict if name == "resnet50"
+              else load_torch_resnet152_state_dict)
+    params = loader(net, _np_sd(sd))
+    x_j = np.transpose(x.numpy(), (0, 2, 3, 1))  # NCHW -> NHWC
+    pooled = np.asarray(net.apply(params, x_j))
+    logits = np.asarray(net.apply(params, x_j, with_head=True))
+    spatial = np.asarray(net.spatial_features(params, x_j))
+
+    tol = dict(rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pooled, pooled_t.numpy(), **tol)
+    np.testing.assert_allclose(logits, logits_t.numpy(), **tol)
+    np.testing.assert_allclose(
+        spatial, np.transpose(spatial_t.numpy(), (0, 2, 3, 1)), **tol
+    )
+
+
+def test_resnet_importer_depth_check():
+    from fashionvisualexpl_tpu.vision.backbones import (
+        load_torch_resnet152_state_dict,
+    )
+
+    sd = _torch_resnet_sd((3, 4, 6, 3), seed=0)
+    with pytest.raises(ValueError, match="blocks"):
+        load_torch_resnet152_state_dict(ResNet((3, 4, 6, 3)), _np_sd(sd))
+    with pytest.raises(KeyError, match="resnet152"):
+        load_torch_resnet152_state_dict(
+            ResNet((3, 8, 36, 3)), _np_sd(sd)
+        )
+
+
+def _torch_vgg19_sd(flat_dim, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    idx = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
+    cfg = (64, 64, 128, 128, 256, 256, 256, 256,
+           512, 512, 512, 512, 512, 512, 512, 512)
+    sd = {}
+    in_c = 3
+    for i, c in zip(idx, cfg):
+        sd[f"features.{i}.weight"] = _w(g, c, in_c, 3, 3)
+        sd[f"features.{i}.bias"] = torch.randn(c, generator=g) * 0.1
+        in_c = c
+    sd["classifier.0.weight"] = _w(g, 4096, flat_dim)
+    sd["classifier.0.bias"] = torch.randn(4096, generator=g) * 0.1
+    sd["classifier.3.weight"] = _w(g, 4096, 4096)
+    sd["classifier.3.bias"] = torch.randn(4096, generator=g) * 0.1
+    sd["classifier.6.weight"] = _w(g, 1000, 4096)
+    sd["classifier.6.bias"] = torch.randn(1000, generator=g) * 0.1
+    return sd
+
+
+def _torch_vgg19_forward(sd, x):
+    import torch.nn.functional as Fn
+
+    idx = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
+    k = 0
+    for stage_len in (2, 2, 4, 4, 4):
+        for _ in range(stage_len):
+            x = Fn.relu(Fn.conv2d(
+                x, sd[f"features.{idx[k]}.weight"],
+                sd[f"features.{idx[k]}.bias"], padding=1,
+            ))
+            k += 1
+        x = Fn.max_pool2d(x, 2, 2)
+    x = torch.flatten(x, 1)  # CHW flatten order
+    fc1 = Fn.relu(Fn.linear(x, sd["classifier.0.weight"], sd["classifier.0.bias"]))
+    fc2 = Fn.relu(Fn.linear(fc1, sd["classifier.3.weight"], sd["classifier.3.bias"]))
+    preds = Fn.linear(fc2, sd["classifier.6.weight"], sd["classifier.6.bias"])
+    return fc1, fc2, preds
+
+
+def test_vgg19_torch_numerical_parity():
+    from fashionvisualexpl_tpu.vision.backbones import (
+        load_torch_vgg19_state_dict,
+    )
+
+    net = VGG19(input_hw=(64, 64))
+    sd = _torch_vgg19_sd(net.flat_dim, seed=5)
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(11))
+    with torch.no_grad():
+        fc1_t, fc2_t, preds_t = _torch_vgg19_forward(sd, x)
+
+    params = load_torch_vgg19_state_dict(net, _np_sd(sd))
+    x_j = np.transpose(x.numpy(), (0, 2, 3, 1))
+    tol = dict(rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(net.apply(params, x_j, output_layer="fc1")),
+        fc1_t.numpy(), **tol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(net.apply(params, x_j, output_layer="fc2")),
+        fc2_t.numpy(), **tol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(net.apply(params, x_j, output_layer="predictions")),
+        preds_t.numpy(), **tol,
+    )
+
+
+def test_vgg19_importer_flat_dim_mismatch():
+    from fashionvisualexpl_tpu.vision.backbones import (
+        load_torch_vgg19_state_dict,
+    )
+
+    net = VGG19(input_hw=(64, 64))
+    sd = _torch_vgg19_sd(25088, seed=0)  # 224x224-layout classifier
+    with pytest.raises(ValueError, match="flat dim"):
+        load_torch_vgg19_state_dict(net, _np_sd(sd))
+
+
+def test_extractor_torch_weights_file_roundtrip(tmp_path):
+    """CnnFeatureExtractor(torch_weights=...) end-to-end through an .npz
+    state-dict file: classify + extract_feature match the torch reference."""
+    from fashionvisualexpl_tpu.vision.extractors import CnnFeatureExtractor
+
+    net_blocks = (3, 4, 6, 3)
+    sd = _torch_resnet_sd(net_blocks, seed=1)
+    npz = tmp_path / "resnet50.npz"
+    np.savez(str(npz), **_np_sd(sd))
+
+    ex = CnnFeatureExtractor(
+        output_layer="avg_pool", model_name="ResNet50",
+        torch_weights=str(npz),
+    )
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(2))
+    with torch.no_grad():
+        _, pooled_t, logits_t = _torch_resnet_forward(sd, x, net_blocks)
+    x_j = np.transpose(x.numpy(), (0, 2, 3, 1)).astype(np.float32)
+    feats = ex.extract_feature(x_j)
+    np.testing.assert_allclose(feats, pooled_t.numpy(), rtol=1e-4, atol=1e-4)
+    recs = ex.classify(x_j, ["0.jpg", "1.jpg"])
+    assert [r["ClassNum"] for r in recs] == list(
+        logits_t.argmax(dim=1).numpy()
+    )

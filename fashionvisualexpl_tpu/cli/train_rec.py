@@ -97,6 +97,14 @@ def build_parser(description="Run train of the Recommender Model."):
                         "reference's exact scheme (shuffle users, visit "
                         "positives in stored order); pair_perm = permute "
                         "the full interaction list")
+    p.add_argument("--max_user_pos", type=int, default=64,
+                   help="acf: training-time cap on per-user positives "
+                        "(subsampled beyond it; the reference attends over "
+                        "all, ACF.py:169-179)")
+    p.add_argument("--acf_exact_eval", action="store_true",
+                   help="acf: attend over EVERY positive at evaluation "
+                        "(chunked online-softmax scan; reference-exact "
+                        "eval profiles regardless of --max_user_pos)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis size")
     p.add_argument("--mesh_model", type=int, default=1,
@@ -204,6 +212,8 @@ def build_model(args, data, cfg):
             embed_k=args.embed_k,
             layers_component=tuple(args.layers_component),
             layers_item=tuple(args.layers_item),
+            max_user_pos=args.max_user_pos,
+            exact_eval=args.acf_exact_eval,
         )
     raise NotImplementedError("Not implemented or unknown Recommender Model.")
 

@@ -13,7 +13,12 @@ are a padded fixed-shape [U, P] table, and the whole batch's two-level
 attention runs as one XLA program with masked softmax over the padding.
 
 The positive-set cap P (`max_user_pos`) subsamples users with more positives
-than P (the reference uses all, with ragged shapes XLA cannot compile).
+than P during TRAINING (the reference uses all, with ragged shapes XLA
+cannot compile).  Evaluation can be exact: `exact_eval=True` attends over
+every positive via a chunked lax.scan with online-softmax renormalization
+(`_attentive_profile_chunked`) — no user is subsampled at eval, matching
+reference ACF.py:169-179,213-224 exactly.  The training cap's measured
+accuracy impact is recorded in BASELINE.md (scripts/acf_cap_experiment.py).
 """
 
 from __future__ import annotations
@@ -70,13 +75,24 @@ class ACF(RecommenderModel):
         seed: int = 0,
         padded_positives: Optional[np.ndarray] = None,  # [U, P] int32
         positive_counts: Optional[np.ndarray] = None,  # [U] int32
+        exact_eval: bool = False,
+        pos_chunk: int = 64,
     ):
         """Either `data` (per-user lists, padded/subsampled to
         `max_user_pos`, default 64) or precomputed
         `padded_positives`+`positive_counts` (then used for both the train
         and eval profiles — the array path for benchmarks and catalogs too
         large to hold as Python lists; `max_user_pos`, if given, must match
-        the array width)."""
+        the array width).
+
+        `exact_eval=True` makes EVALUATION profiles attend over every
+        positive like the reference (ACF.py:169-179) — the eval table pads
+        to the true maximum positive count (no subsampling) and the profile
+        runs as a lax.scan over `pos_chunk`-wide windows with online
+        (running-max) softmax renormalization, so memory stays bounded at
+        [B, pos_chunk, S, C] regardless of the heaviest user.  Training
+        still subsamples to `max_user_pos` (measured impact: see
+        scripts/acf_cap_experiment.py and BASELINE.md)."""
         super().__init__(num_users, num_items)
         if spatial_features.shape[0] != num_items:
             raise ValueError("spatial features rows != num_items")
@@ -88,6 +104,8 @@ class ACF(RecommenderModel):
         self.S = int(spatial_features.shape[1])
         self.C = int(spatial_features.shape[2])
         self._spatial = np.asarray(spatial_features, np.float32)
+        self.exact_eval = bool(exact_eval)
+        self.pos_chunk = int(pos_chunk)
 
         if padded_positives is not None:
             if positive_counts is None:
@@ -116,8 +134,15 @@ class ACF(RecommenderModel):
             list(t) + list(v)
             for t, v in zip(data.training_list, data.validation_list)
         ]
+        # exact_eval: pad to the TRUE maximum positive count — no user is
+        # subsampled at evaluation (reference semantics, ACF.py:169-179)
+        eval_width = (
+            max(1, max(len(r) for r in eval_lists))
+            if self.exact_eval
+            else self.max_user_pos
+        )
         self._pos_eval, self._cnt_eval = _pad_user_pos(
-            eval_lists, self.max_user_pos, rng
+            eval_lists, eval_width, rng
         )
 
     def row_sharded_params(self):
@@ -169,12 +194,10 @@ class ACF(RecommenderModel):
 
     # --- the two-level attentive user profile (ACF.py:135-181) ---
 
-    def _attentive_profile(self, comp, item, g_u, f, g_i, p_i, cnt):
-        """The two-level attention math over pre-gathered inputs:
-        g_u [B, K], f [B, P, S, C], g_i/p_i [B, P, K], cnt [B].  Shared by
-        the generic path (user_profile) and the packed fast path
-        (packed_loss), so the semantics cannot drift."""
-        # component attention: softmax over the spatial axis S (ACF.py:152-162)
+    def _item_logits(self, comp, item, g_u, f, g_i, p_i):
+        """Item-level attention logits [B, P] for pre-gathered positives:
+        g_u [B, K], f [B, P, S, C], g_i/p_i [B, P, K].  The component-level
+        softmax over the spatial axis S happens inside (ACF.py:152-162)."""
         b = (
             (g_u @ comp["W0_u"])[:, None, None, :]
             + jnp.einsum("bpsc,ct->bpst", f, comp["W0_i"])
@@ -196,13 +219,61 @@ class ACF(RecommenderModel):
         a = jax.nn.relu(a)
         for i in range(1, len(self.layers_item)):
             a = jnp.einsum("bpt,ut->bpu", a, item[f"W{i}"]) + item[f"b{i}"]
-        logits = a[..., 0]  # [B, P]
+        return a[..., 0]  # [B, P]
+
+    def _attentive_profile(self, comp, item, g_u, f, g_i, p_i, cnt):
+        """The two-level attention math over pre-gathered inputs.  Shared by
+        the generic path (user_profile) and the packed fast path
+        (packed_loss), so the semantics cannot drift."""
+        logits = self._item_logits(comp, item, g_u, f, g_i, p_i)
         # mask padded positives out of the item-level softmax (ACF.py:177)
         valid = jnp.arange(logits.shape[1])[None, :] < cnt[:, None]
         alpha = jax.nn.softmax(jnp.where(valid, logits, NEG_BIG), axis=1)
         alpha = jnp.where(valid, alpha, 0.0)
         profile = jnp.einsum("bp,bpk->bk", alpha, p_i)
         # users with zero positives keep their plain embedding
+        profile = jnp.where(cnt[:, None] > 0, profile, 0.0)
+        return g_u + profile
+
+    def _attentive_profile_chunked(self, params, frozen, g_u, pos, cnt):
+        """Exact full-positive-set profile (reference attends over ALL
+        positives, ACF.py:169-179): lax.scan over `pos_chunk`-wide windows
+        of the padded positive list with flash-attention-style online
+        softmax (running max m, denominator s, weighted-sum accumulator) —
+        peak memory [B, W, S, C] independent of the heaviest user."""
+        comp, item = params["comp"], params["item"]
+        B, Pmax = pos.shape
+        W = min(self.pos_chunk, Pmax)
+        n_chunks = -(-Pmax // W)
+        pos_p = jnp.pad(pos, ((0, 0), (0, n_chunks * W - Pmax)))
+        chunks = jnp.moveaxis(pos_p.reshape(B, n_chunks, W), 1, 0)  # [n,B,W]
+        offs = jnp.arange(n_chunks, dtype=jnp.int32) * W
+        K = g_u.shape[-1]
+
+        def body(carry, xs):
+            m, s, acc = carry
+            ids, off = xs  # [B, W], scalar
+            f = jnp.take(frozen["Fspat"], ids, axis=0)  # [B, W, S, C]
+            flat = ids.reshape(-1)
+            g_i = self.take("Gi", params["Gi"], flat).reshape(B, W, -1)
+            p_i = self.take("Pi", params["Pi"], flat).reshape(B, W, -1)
+            logits = self._item_logits(comp, item, g_u, f, g_i, p_i)
+            valid = (off + jnp.arange(W, dtype=jnp.int32))[None, :] < cnt[:, None]
+            logits = jnp.where(valid, logits, NEG_BIG)
+            m_new = jnp.maximum(m, logits.max(axis=1))
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(logits - m_new[:, None]) * valid
+            s = s * scale + e.sum(axis=1)
+            acc = acc * scale[:, None] + jnp.einsum("bw,bwk->bk", e, p_i)
+            return (m_new, s, acc), None
+
+        init = (
+            jnp.full((B,), NEG_BIG, jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+            jnp.zeros((B, K), jnp.float32),
+        )
+        (m, s, acc), _ = jax.lax.scan(body, init, (chunks, offs))
+        profile = acc / jnp.maximum(s, 1e-30)[:, None]
         profile = jnp.where(cnt[:, None] > 0, profile, 0.0)
         return g_u + profile
 
@@ -215,6 +286,8 @@ class ACF(RecommenderModel):
         pos = jnp.take(frozen[pos_key], users, axis=0)  # [B, P]
         cnt = jnp.take(frozen[cnt_key], users)  # [B]
         g_u = self.take("Gu", params["Gu"], users)  # [B, K]
+        if not train_only and self.exact_eval:
+            return self._attentive_profile_chunked(params, frozen, g_u, pos, cnt)
         f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
         B_, P_ = pos.shape
         g_i = self.take("Gi", params["Gi"], pos.reshape(-1)).reshape(

@@ -2,12 +2,27 @@
 
 The reference's TF 2.3.1 stack cannot be installed in this image, so parity
 is checked against a faithful torch-CPU re-implementation of the reference
-BPRMF training semantics (same loss with its quirks, same Adam config, same
+training semantics (same loss with its quirks, same Adam config, same
 epoch/negative-sampling scheme, same evaluator protocol via our oracle-
-tested metrics): both stacks train on the SAME dataset and must converge to
-the same recall@20 / AUC / NDCG@20 within run-to-run variance.
+tested metrics): both stacks train on the SAME dataset/features and must
+converge to the same recall@20 / AUC / NDCG@20 within run-to-run variance.
 
-Run:  python scripts/parity_check.py [--epochs 40]
+Covered recs (reference files mirrored):
+- bprmf         BPRMF.py:87-125  (clip(-80,1e8), neg-bias reg/10)
+- vbpr          VBPR.py:99-144   (frozen F, whole-matrix E/Bp reg, reg/10)
+- grad_fashion  GradFashion.py:136-193 (two families, NO /10, whole-matrix
+                Ec/Ee/E/Bp reg)
+- acf           ACF.py:135-264.  NOTE the reference detaches the attentive
+                user profile from the tape (`tf.Variable(np.asarray(...))`,
+                ACF.py:205-211): gradients reach ONLY Gi through the score;
+                Gu/Pi/attention weights receive reg-decay only.  This
+                framework deliberately trains end-to-end (the paper's
+                semantics), so parity for acf is measured against the
+                end-to-end torch reference (--acf_semantics endtoend,
+                default); --acf_semantics as_shipped reproduces the
+                reference artifact for the record.
+
+Run:  python scripts/parity_check.py [--rec vbpr] [--epochs 40]
 Emits one JSON line with both metric sets and the deltas.
 """
 
@@ -39,73 +54,316 @@ if os.environ.get("PARITY_CPU", "1") == "1":
     jax.config.update("jax_platforms", "cpu")
 
 
-def train_reference_torch(data, epochs, embed_k, lr, reg, batch, seed=0):
-    """The reference's BPRMF in torch-CPU eager (BPRMF.py:87-125 semantics:
-    summed BPR softplus loss with clip, neg-bias reg/10, dense Adam
-    eps=1e-7, per-epoch host rejection-sampled triples)."""
-    import torch
+def _glorot(*shape):
+    limit = np.sqrt(6.0 / (shape[0] + shape[-1]))
+    return (torch.rand(*shape) * 2 * limit - limit).requires_grad_()
 
-    torch.manual_seed(seed)
-    rng = np.random.default_rng(seed)
-    U, I = data.num_users, data.num_items
 
-    Bi = torch.zeros(I, requires_grad=True)
-    # glorot-uniform like tf.initializers.GlorotUniform (BPRMF.py:36)
-    limit = np.sqrt(6.0 / (U + embed_k))
-    Gu = (torch.rand(U, embed_k) * 2 * limit - limit).requires_grad_()
-    limit = np.sqrt(6.0 / (I + embed_k))
-    Gi = (torch.rand(I, embed_k) * 2 * limit - limit).requires_grad_()
-    opt = torch.optim.Adam([Bi, Gu, Gi], lr=lr, eps=1e-7)
+def make_features(data, seed=0):
+    """Synthetic frozen feature families shared verbatim by both stacks
+    (maxabs-normalized like visual_loader_mixin.py:22-31)."""
+    rng = np.random.default_rng(seed + 100)
+    I = data.num_items
 
-    train_sets = [set(r) for r in data.training_list]
+    def maxabs(x):
+        return (x / max(np.abs(x).max(), 1e-12)).astype(np.float32)
 
-    for _ in range(epochs):
-        users_order = list(range(U))
-        random.shuffle(users_order)
-        triples = []
-        for u in users_order:
-            for i in data.training_list[u]:
+    return {
+        "cnn": maxabs(rng.normal(size=(I, 24))),
+        "color": maxabs(rng.random((I, 16))),
+        "edges": maxabs(rng.random((I, 12))),
+        "spatial": rng.normal(size=(I, 4, 8)).astype(np.float32) * 0.1,
+    }
+
+
+def _epoch_triples(data, train_sets, rng, U, I):
+    """The reference's exact epoch scheme: shuffle users, visit positives in
+    stored order, rejection-sample each negative (dataset.py:94-103)."""
+    users_order = list(range(U))
+    random.shuffle(users_order)
+    triples = []
+    for u in users_order:
+        for i in data.training_list[u]:
+            j = rng.integers(I)
+            while j in train_sets[u]:
                 j = rng.integers(I)
-                while j in train_sets[u]:
-                    j = rng.integers(I)
-                triples.append((u, i, j))
-        steps = len(triples) // batch
+            triples.append((u, i, j))
+    return triples
+
+
+def _run_torch_epochs(data, args, step_fn, seed=0):
+    rng = np.random.default_rng(seed)
+    train_sets = [set(r) for r in data.training_list]
+    U, I = data.num_users, data.num_items
+    for _ in range(args.epochs):
+        triples = _epoch_triples(data, train_sets, rng, U, I)
+        steps = len(triples) // args.batch
         for s in range(steps):
-            chunk = triples[s * batch : (s + 1) * batch]
+            chunk = triples[s * args.batch : (s + 1) * args.batch]
             u = torch.tensor([t[0] for t in chunk])
             p = torch.tensor([t[1] for t in chunk])
             n = torch.tensor([t[2] for t in chunk])
-            opt.zero_grad()
-            gu, gp, gn = Gu[u], Gi[p], Gi[n]
-            bp, bn = Bi[p], Bi[n]
-            x_pos = bp + (gu * gp).sum(1)
-            x_neg = bn + (gu * gn).sum(1)
-            diff = torch.clamp(x_pos - x_neg, -80.0, 1e8)
-            loss = torch.nn.functional.softplus(-diff).sum()
-            loss = loss + reg * (
-                gu.pow(2).sum() + gp.pow(2).sum() + gn.pow(2).sum()
-            ) + reg * bp.pow(2).sum() + reg * bn.pow(2).sum() / 10
-            loss.backward()
-            opt.step()
+            step_fn(u, p, n)
 
-    scores = (
+
+def _bpr_core(x_pos, x_neg):
+    diff = torch.clamp(x_pos - x_neg, -80.0, 1e8)
+    return torch.nn.functional.softplus(-diff).sum()
+
+
+def train_reference_torch_bprmf(data, args, seed=0):
+    """BPRMF.py:87-125: summed BPR softplus with clip, neg-bias reg/10,
+    dense Adam eps=1e-7."""
+    torch.manual_seed(seed)
+    U, I, K = data.num_users, data.num_items, args.embed_k
+    reg = args.reg
+    Bi = torch.zeros(I, requires_grad=True)
+    Gu, Gi = _glorot(U, K), _glorot(I, K)
+    opt = torch.optim.Adam([Bi, Gu, Gi], lr=args.lr, eps=1e-7)
+
+    def step(u, p, n):
+        opt.zero_grad()
+        gu, gp, gn = Gu[u], Gi[p], Gi[n]
+        x_pos = Bi[p] + (gu * gp).sum(1)
+        x_neg = Bi[n] + (gu * gn).sum(1)
+        loss = _bpr_core(x_pos, x_neg)
+        loss = loss + reg * (
+            gu.pow(2).sum() + gp.pow(2).sum() + gn.pow(2).sum()
+        ) + reg * Bi[p].pow(2).sum() + reg * Bi[n].pow(2).sum() / 10
+        loss.backward()
+        opt.step()
+
+    _run_torch_epochs(data, args, step, seed)
+    return (
         Bi.detach().numpy()[None, :]
         + Gu.detach().numpy() @ Gi.detach().numpy().T
     )
-    return scores
+
+
+def train_reference_torch_vbpr(data, args, feats, seed=0):
+    """VBPR.py:99-144: adds theta_u.(f_i E) + f_i.Bp; reg on batch
+    {gu,gp,gn,tu}, bias pos full / neg /10, whole matrices E and Bp."""
+    torch.manual_seed(seed)
+    U, I, K, D = data.num_users, data.num_items, args.embed_k, args.embed_d
+    reg = args.reg
+    F = torch.tensor(feats["cnn"])
+    dim_f = F.shape[1]
+    Bi = torch.zeros(I, requires_grad=True)
+    Gu, Gi = _glorot(U, K), _glorot(I, K)
+    Tu, E, Bp = _glorot(U, D), _glorot(dim_f, D), _glorot(dim_f, 1)
+    opt = torch.optim.Adam([Bi, Gu, Gi, Tu, E, Bp], lr=args.lr, eps=1e-7)
+
+    def score(u, it):
+        fi = F[it]
+        return (
+            Bi[it] + (Gu[u] * Gi[it]).sum(1)
+            + (Tu[u] * (fi @ E)).sum(1) + (fi @ Bp).squeeze(1)
+        )
+
+    def step(u, p, n):
+        opt.zero_grad()
+        loss = _bpr_core(score(u, p), score(u, n))
+        loss = loss + reg * (
+            Gu[u].pow(2).sum() + Gi[p].pow(2).sum()
+            + Gi[n].pow(2).sum() + Tu[u].pow(2).sum()
+        ) + reg * Bi[p].pow(2).sum() + reg * Bi[n].pow(2).sum() / 10 \
+            + reg * (E.pow(2).sum() + Bp.pow(2).sum())
+        loss.backward()
+        opt.step()
+
+    _run_torch_epochs(data, args, step, seed)
+    with torch.no_grad():
+        scores = Bi[None, :] + Gu @ Gi.T + Tu @ (F @ E).T + (F @ Bp).squeeze(1)
+    return scores.numpy()
+
+
+def train_reference_torch_grad_fashion(data, args, feats, seed=0):
+    """GradFashion.py:136-193: concat(color@Ec, edges@Ee) visual features;
+    BOTH biases at full reg (no /10); whole matrices Ec/Ee/E/Bp."""
+    torch.manual_seed(seed)
+    U, I, K, D = data.num_users, data.num_items, args.embed_k, args.embed_d
+    dc, de = args.embed_color, args.embed_edges
+    reg = args.reg
+    Fc = torch.tensor(feats["color"])
+    Fe = torch.tensor(feats["edges"])
+    Bi = torch.zeros(I, requires_grad=True)
+    Gu, Gi = _glorot(U, K), _glorot(I, K)
+    Ec, Ee = _glorot(Fc.shape[1], dc), _glorot(Fe.shape[1], de)
+    E, Bp, Tu = _glorot(dc + de, D), _glorot(dc + de, 1), _glorot(U, D)
+    opt = torch.optim.Adam(
+        [Gu, Gi, Bi, Ec, Ee, Tu, E, Bp], lr=args.lr, eps=1e-7
+    )
+
+    def score(u, it):
+        vf = torch.cat([Fc[it] @ Ec, Fe[it] @ Ee], dim=1)
+        return (
+            Bi[it] + (Gu[u] * Gi[it]).sum(1)
+            + (Tu[u] * (vf @ E)).sum(1) + (vf @ Bp).squeeze(1)
+        )
+
+    def step(u, p, n):
+        opt.zero_grad()
+        loss = _bpr_core(score(u, p), score(u, n))
+        loss = loss + reg * (
+            Gu[u].pow(2).sum() + Gi[p].pow(2).sum()
+            + Gi[n].pow(2).sum() + Tu[u].pow(2).sum()
+        ) + reg * (Bi[p].pow(2).sum() + Bi[n].pow(2).sum()) \
+            + reg * (Ec.pow(2).sum() + Ee.pow(2).sum()
+                     + E.pow(2).sum() + Bp.pow(2).sum())
+        loss.backward()
+        opt.step()
+
+    _run_torch_epochs(data, args, step, seed)
+    with torch.no_grad():
+        VF = torch.cat([Fc @ Ec, Fe @ Ee], dim=1)
+        scores = Bi[None, :] + Gu @ Gi.T + Tu @ (VF @ E).T + (VF @ Bp).squeeze(1)
+    return scores.numpy()
+
+
+def train_reference_torch_acf(data, args, feats, semantics, seed=0):
+    """ACF.py:135-264.  `semantics`:
+    - "endtoend": gradients flow through the attentive profile (the paper's
+      training; what this framework implements);
+    - "as_shipped": the profile is DETACHED before scoring
+      (tf.Variable(np.asarray(...)), ACF.py:205-211) — only Gi learns from
+      the ranking loss, everything else sees reg decay only."""
+    torch.manual_seed(seed)
+    U, I, K = data.num_users, data.num_items, args.embed_k
+    reg = args.reg
+    t_c, t_i = args.layers_component, args.layers_item
+    Fspat = torch.tensor(feats["spatial"])  # [I, S, C]
+    C = Fspat.shape[2]
+    # train profile positives (uniform length by construction of the
+    # synthetic split); eval adds the validation item (ACF.py:216-218)
+    pos_train = torch.tensor(np.asarray(data.training_list, dtype=np.int64))
+    pos_eval = torch.tensor(np.asarray(
+        [t + v for t, v in zip(data.training_list, data.validation_list)],
+        dtype=np.int64,
+    ))
+
+    g = torch.Generator().manual_seed(seed)
+    Gu = (torch.randn(U, K, generator=g) * 0.01).requires_grad_()
+    Gi = (torch.randn(I, K, generator=g) * 0.01).requires_grad_()
+    Pi = (torch.randn(I, K, generator=g) * 0.01).requires_grad_()
+    comp = {
+        "W0_u": _glorot(K, t_c[0]), "W0_i": _glorot(C, t_c[0]),
+        "b0": _glorot(1, t_c[0])[0].detach().requires_grad_(),
+    }
+    for c in range(1, len(t_c)):
+        comp[f"W{c}"] = _glorot(t_c[c], t_c[c - 1])
+        comp[f"b{c}"] = _glorot(1, t_c[c])[0].detach().requires_grad_()
+    item = {
+        "W0_u": _glorot(K, t_i[0]), "W0_iv": _glorot(K, t_i[0]),
+        "W0_ip": _glorot(K, t_i[0]), "W0_ix": _glorot(C, t_i[0]),
+        "b0": _glorot(1, t_i[0])[0].detach().requires_grad_(),
+    }
+    for c in range(1, len(t_i)):
+        item[f"W{c}"] = _glorot(t_i[c], t_i[c - 1])
+        item[f"b{c}"] = _glorot(1, t_i[c])[0].detach().requires_grad_()
+    params = [Gu, Gi, Pi, *comp.values(), *item.values()]
+    opt = torch.optim.Adam(params, lr=args.lr, eps=1e-7)
+
+    def profiles(users, pos):
+        """Attentive user profile g_u + sum(alpha p_i) for a [B] user batch
+        with uniform-length positive lists pos [B, P] (ACF.py:135-181)."""
+        f = Fspat[pos]  # [B, P, S, C]
+        gu = Gu[users]  # [B, K]
+        b = (
+            (gu @ comp["W0_u"])[:, None, None, :]
+            + torch.einsum("bpsc,ct->bpst", f, comp["W0_i"])
+            + comp["b0"]
+        )
+        b = torch.relu(b)
+        for c in range(1, len(t_c)):
+            b = torch.einsum("bpst,ut->bpsu", b, comp[f"W{c}"]) + comp[f"b{c}"]
+        beta = torch.softmax(b[..., 0], dim=2)  # [B, P, S]
+        x_l = torch.einsum("bps,bpsc->bpc", beta, f)
+        gi, pi = Gi[pos], Pi[pos]
+        a = (
+            (gu @ item["W0_u"])[:, None, :]
+            + gi @ item["W0_iv"] + pi @ item["W0_ip"]
+            + x_l @ item["W0_ix"] + item["b0"]
+        )
+        a = torch.relu(a)
+        for c in range(1, len(t_i)):
+            a = torch.einsum("bpt,ut->bpu", a, item[f"W{c}"]) + item[f"b{c}"]
+        alpha = torch.softmax(a[..., 0], dim=1)  # [B, P]
+        return gu + torch.einsum("bp,bpk->bk", alpha, pi)
+
+    def step(u, p, n):
+        opt.zero_grad()
+        gup = profiles(u, pos_train[u])
+        if semantics == "as_shipped":
+            gup = gup.detach()  # tf.Variable(np.asarray(...)), ACF.py:210
+        x_pos = (gup * Gi[p]).sum(1)
+        x_neg = (gup * Gi[n]).sum(1)
+        loss = _bpr_core(x_pos, x_neg)
+        loss = loss + reg * (
+            Gu[u].pow(2).sum() + Gi[p].pow(2).sum() + Gi[n].pow(2).sum()
+            + Pi[p].pow(2).sum() + Pi[n].pow(2).sum()
+            + sum(w.pow(2).sum() for w in comp.values())
+            + sum(w.pow(2).sum() for w in item.values())
+        )
+        loss.backward()
+        opt.step()
+
+    _run_torch_epochs(data, args, step, seed)
+    with torch.no_grad():
+        gup = profiles(torch.arange(U), pos_eval)  # eval profile: train+val
+        scores = gup @ Gi.T
+    return scores.numpy()
+
+
+def build_ours(args, data, feats):
+    if args.rec == "bprmf":
+        from fashionvisualexpl_tpu.models.bprmf import BPRMF
+
+        return BPRMF(data.num_users, data.num_items, embed_k=args.embed_k)
+    if args.rec == "vbpr":
+        from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+        return VBPR(data.num_users, data.num_items, feats["cnn"],
+                    embed_k=args.embed_k, embed_d=args.embed_d)
+    if args.rec == "grad_fashion":
+        from fashionvisualexpl_tpu.models.grad_fashion import GradFashion
+
+        return GradFashion(
+            data.num_users, data.num_items, feats["color"], feats["edges"],
+            embed_k=args.embed_k, embed_d=args.embed_d,
+            embed_color=args.embed_color, embed_edges=args.embed_edges,
+        )
+    if args.rec == "acf":
+        from fashionvisualexpl_tpu.models.acf import ACF
+
+        return ACF(
+            data.num_users, data.num_items, feats["spatial"], data,
+            embed_k=args.embed_k,
+            layers_component=tuple(args.layers_component),
+            layers_item=tuple(args.layers_item),
+        )
+    raise SystemExit(f"unknown --rec {args.rec}")
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--rec", default="bprmf",
+                    choices=["bprmf", "vbpr", "grad_fashion", "acf"])
     ap.add_argument("--users", type=int, default=300)
     ap.add_argument("--items", type=int, default=400)
     ap.add_argument("--per_user", type=int, default=15)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--embed_k", type=int, default=32)
+    ap.add_argument("--embed_d", type=int, default=8)
+    ap.add_argument("--embed_color", type=int, default=8)
+    ap.add_argument("--embed_edges", type=int, default=8)
+    ap.add_argument("--layers_component", nargs="+", type=int, default=[16, 1])
+    ap.add_argument("--layers_item", nargs="+", type=int, default=[16, 1])
     ap.add_argument("--lr", type=float, default=0.005)
     ap.add_argument("--reg", type=float, default=0.001)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--top_k", type=int, default=20)
+    ap.add_argument("--acf_semantics", default="endtoend",
+                    choices=["endtoend", "as_shipped", "both"])
     ap.add_argument("--train_path", choices=["generic", "packed"],
                     default="generic",
                     help="also validates the packed/LazyAdam path's accuracy")
@@ -122,13 +380,13 @@ def main():
         multi_hot, pad_lists, synthetic_interactions,
     )
     from fashionvisualexpl_tpu.eval.evaluator import Evaluator
-    from fashionvisualexpl_tpu.models.bprmf import BPRMF
     from fashionvisualexpl_tpu.ops.metrics import eval_users, mean_metrics
     from fashionvisualexpl_tpu.train.trainer import fit
 
     data = synthetic_interactions(
         args.users, args.items, interactions_per_user=args.per_user, seed=0
     )
+    feats = make_features(data)
 
     def metrics_of(scores):
         train_mask = jnp.asarray(multi_hot(data.training_list, data.num_items))
@@ -144,7 +402,7 @@ def main():
     cfg = TrainConfig(batch_size=args.batch, epochs=args.epochs, lr=args.lr,
                       reg=args.reg, top_k=args.top_k, eval_every=args.epochs,
                       train_path=args.train_path)
-    model = BPRMF(data.num_users, data.num_items, embed_k=args.embed_k)
+    model = build_ours(args, data, feats)
     ev = Evaluator(model, data, k=args.top_k, user_block=256)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -152,17 +410,37 @@ def main():
     ours = metrics_of(np.asarray(model.predict_all(state.params, frozen)))
 
     # reference execution model (torch eager, reference semantics)
-    ref_scores = train_reference_torch(
-        data, args.epochs, args.embed_k, args.lr, args.reg, args.batch
-    )
-    ref = metrics_of(ref_scores)
-
-    deltas = {k: abs(ours[k] - ref[k]) for k in ours}
-    print(json.dumps({
-        "ours": ours, "reference_impl": ref, "abs_delta": deltas,
-        "config": vars(args),
-    }))
+    out = {"ours": ours, "config": vars(args)}
+    if args.rec == "bprmf":
+        ref = metrics_of(train_reference_torch_bprmf(data, args))
+    elif args.rec == "vbpr":
+        ref = metrics_of(train_reference_torch_vbpr(data, args, feats))
+    elif args.rec == "grad_fashion":
+        ref = metrics_of(train_reference_torch_grad_fashion(data, args, feats))
+    else:
+        sem = args.acf_semantics
+        if sem in ("endtoend", "both"):
+            ref = metrics_of(
+                train_reference_torch_acf(data, args, feats, "endtoend")
+            )
+        if sem in ("as_shipped", "both"):
+            shipped = metrics_of(
+                train_reference_torch_acf(data, args, feats, "as_shipped")
+            )
+            out["reference_impl_as_shipped"] = shipped
+            if sem == "as_shipped":
+                ref = shipped
+    out["reference_impl"] = ref
+    out["abs_delta"] = {k: abs(ours[k] - ref[k]) for k in ours}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     main()
+
+
+# legacy alias (round-1 name): BPRMF-only entry
+def train_reference_torch(data, epochs, embed_k, lr, reg, batch, seed=0):
+    ns = argparse.Namespace(epochs=epochs, embed_k=embed_k, lr=lr, reg=reg,
+                            batch=batch)
+    return train_reference_torch_bprmf(data, ns, seed)

@@ -81,3 +81,63 @@ def test_trains_end_to_end():
     state, frozen, results, extra = fit(model, data, cfg, evaluator=ev)
     assert np.isfinite(results[8]["auc_t"])
     assert results[8]["auc_t"] > 0.5
+
+
+def test_exact_eval_chunked_matches_oneshot():
+    """The chunked online-softmax profile must equal the one-shot masked
+    softmax bit-for-nearly-bit at every chunk width (including widths that
+    do not divide the padded length)."""
+    model, data = _make(max_user_pos=9)
+    params, frozen = model.init(jax.random.PRNGKey(2))
+    users = jnp.arange(data.num_users)
+    # one-shot eval profile (pos_eval width 9 covers every user here)
+    oneshot = np.asarray(
+        model.user_profile(params, frozen, users, train_only=False)
+    )
+    pos = frozen["pos_eval"]
+    cnt = frozen["cnt_eval"]
+    g_u = jnp.take(params["Gu"], users, axis=0)
+    for w in (1, 2, 3, 4, 9, 16):
+        model.pos_chunk = w
+        chunked = np.asarray(
+            model._attentive_profile_chunked(params, frozen, g_u, pos, cnt)
+        )
+        np.testing.assert_allclose(chunked, oneshot, rtol=2e-6, atol=2e-6)
+
+
+def test_exact_eval_uses_all_positives_beyond_cap():
+    """With exact_eval, a user whose positive count exceeds max_user_pos
+    gets the full-set profile (differs from the subsampled one and matches
+    an uncapped model's)."""
+    U, I = 10, 30
+    rng = np.random.default_rng(3)
+    data = synthetic_interactions(U, I, interactions_per_user=12, seed=3)
+    spat = rng.normal(size=(I, 3, 5)).astype(np.float32)
+    kw = dict(embed_k=6, layers_component=(4, 1), layers_item=(4, 1), seed=0)
+    capped = ACF(U, I, spat, data, max_user_pos=4, **kw)
+    exact = ACF(U, I, spat, data, max_user_pos=4, exact_eval=True,
+                pos_chunk=3, **kw)
+    uncapped = ACF(U, I, spat, data, max_user_pos=64, **kw)
+    params, frozen_c = capped.init(jax.random.PRNGKey(5))
+    _, frozen_e = exact.init(jax.random.PRNGKey(5))
+    _, frozen_u = uncapped.init(jax.random.PRNGKey(5))
+    users = jnp.arange(U)
+    p_exact = np.asarray(
+        exact.user_profile(params, frozen_e, users, train_only=False)
+    )
+    p_uncapped = np.asarray(
+        uncapped.user_profile(params, frozen_u, users, train_only=False)
+    )
+    p_capped = np.asarray(
+        capped.user_profile(params, frozen_c, users, train_only=False)
+    )
+    # exact == uncapped one-shot; capped differs (users have ~11 eval pos)
+    np.testing.assert_allclose(p_exact, p_uncapped, rtol=2e-5, atol=2e-5)
+    assert np.abs(p_capped - p_uncapped).max() > 1e-4
+    # training profile still uses the cap (unchanged shape/semantics)
+    assert exact._pos_train.shape[1] == 4
+    assert exact._pos_eval.shape[1] > 4
+    # end-to-end eval path (predict_all -> precompute_eval) runs chunked
+    s = np.asarray(exact.predict_all(params, frozen_e))
+    su = np.asarray(uncapped.predict_all(params, frozen_u))
+    np.testing.assert_allclose(s, su, rtol=2e-4, atol=2e-5)

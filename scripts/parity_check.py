@@ -92,6 +92,7 @@ def _epoch_triples(data, train_sets, rng, U, I):
 
 
 def _run_torch_epochs(data, args, step_fn, seed=0):
+    random.seed(seed)
     rng = np.random.default_rng(seed)
     train_sets = [set(r) for r in data.training_list]
     U, I = data.num_users, data.num_items
@@ -364,6 +365,10 @@ def main():
     ap.add_argument("--top_k", type=int, default=20)
     ap.add_argument("--acf_semantics", default="endtoend",
                     choices=["endtoend", "as_shipped", "both"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seeds BOTH stacks' init/sampling (the dataset "
+                        "stays fixed) — vary it to measure run-to-run "
+                        "variance, the yardstick the deltas are judged by")
     ap.add_argument("--train_path", choices=["generic", "packed"],
                     default="generic",
                     help="also validates the packed/LazyAdam path's accuracy")
@@ -401,7 +406,7 @@ def main():
     # ours (TPU framework)
     cfg = TrainConfig(batch_size=args.batch, epochs=args.epochs, lr=args.lr,
                       reg=args.reg, top_k=args.top_k, eval_every=args.epochs,
-                      train_path=args.train_path)
+                      train_path=args.train_path, seed=args.seed)
     model = build_ours(args, data, feats)
     ev = Evaluator(model, data, k=args.top_k, user_block=256)
     buf = io.StringIO()
@@ -412,20 +417,20 @@ def main():
     # reference execution model (torch eager, reference semantics)
     out = {"ours": ours, "config": vars(args)}
     if args.rec == "bprmf":
-        ref = metrics_of(train_reference_torch_bprmf(data, args))
+        ref = metrics_of(train_reference_torch_bprmf(data, args, seed=args.seed))
     elif args.rec == "vbpr":
-        ref = metrics_of(train_reference_torch_vbpr(data, args, feats))
+        ref = metrics_of(train_reference_torch_vbpr(data, args, feats, seed=args.seed))
     elif args.rec == "grad_fashion":
-        ref = metrics_of(train_reference_torch_grad_fashion(data, args, feats))
+        ref = metrics_of(train_reference_torch_grad_fashion(data, args, feats, seed=args.seed))
     else:
         sem = args.acf_semantics
         if sem in ("endtoend", "both"):
             ref = metrics_of(
-                train_reference_torch_acf(data, args, feats, "endtoend")
+                train_reference_torch_acf(data, args, feats, "endtoend", seed=args.seed)
             )
         if sem in ("as_shipped", "both"):
             shipped = metrics_of(
-                train_reference_torch_acf(data, args, feats, "as_shipped")
+                train_reference_torch_acf(data, args, feats, "as_shipped", seed=args.seed)
             )
             out["reference_impl_as_shipped"] = shipped
             if sem == "as_shipped":

@@ -133,13 +133,38 @@ class FactoredEvaluator:
         user_block: int = 1024,
         item_block: int = 4096,
         mesh=None,
+        counts_impl: str = "auto",
     ):
+        """counts_impl selects the >=-position-count engine:
+
+        - "mask": the original per-block id-mask scan (ops/topk.py
+          streaming_counts) — always used under a mesh (the sharded path).
+        - "bucketed": same scan with banned ids pre-bucketed per item
+          block (bucket_banned_ids) — ~2.5x (SPEED.md).
+        - "pallas": fused scoring+count kernel, scores never leave VMEM
+          (ops/counts.py) — ~3.8x, TPU only.
+        - "auto": pallas on TPU for non-trivial catalogs, else bucketed.
+
+        All three produce IDENTICAL counts (pinned in
+        tests/test_factored_eval.py)."""
         self.model = model
         self.data = data
         self.k = k
         self.user_block = min(user_block, data.num_users)
         self.item_block = item_block
         self.mesh = mesh  # if set (model axis > 1): distributed streaming
+        if counts_impl == "auto":
+            counts_impl = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and data.num_items >= 16384
+                else "bucketed"
+            )
+        if mesh is not None:
+            counts_impl = "mask"  # sharded scan owns its own exclusion
+        self.counts_impl = counts_impl
+        # best measured fused-kernel tile (SPEED.md eval section)
+        self._counts_tile = 2048 if counts_impl == "pallas" else item_block
 
         train_padded, train_counts = pad_lists(data.training_list, pad_value=0)
         self._train_items = jnp.asarray(train_padded)
@@ -154,6 +179,36 @@ class FactoredEvaluator:
         else:
             self._val_items = None
             self._val_counts = None
+
+        if counts_impl != "mask":
+            # the banned set (train + split eval items) is static, so the
+            # bucket width W is probed once (host) and pinned — jit shapes
+            # stay constant across user blocks; bucketing itself happens
+            # on device inside the block fn
+            from fashionvisualexpl_tpu.ops.topk import banned_bucket_width
+
+            def masked(items, counts):
+                items = np.asarray(items)
+                counts = np.asarray(counts)
+                v = np.arange(items.shape[1])[None, :] < counts[:, None]
+                return np.where(v, items, -1).astype(np.int32)
+
+            tr = masked(train_padded, train_counts)
+            banned_np = {
+                "test": np.concatenate(
+                    [tr, masked(test_padded, test_counts)], axis=1
+                )
+            }
+            if data.has_validation:
+                banned_np["val"] = np.concatenate(
+                    [tr, masked(val_padded, val_counts)], axis=1
+                )
+            self._bucket_w = {
+                split: banned_bucket_width(
+                    b, data.num_items, self._counts_tile
+                )
+                for split, b in banned_np.items()
+            }
 
         self._block_fn = jax.jit(self._eval_block, static_argnums=(0,))
 
@@ -201,6 +256,37 @@ class FactoredEvaluator:
                 self.mesh, uf, item_factors, item_bias,
                 s_eval, banned, self.item_block,
             )
+        elif self.counts_impl in ("pallas", "bucketed"):
+            # bucketing runs ON DEVICE inside this jit: host-side buckets
+            # would ship [n_blocks, Bu, W] per user block over the
+            # host->device link (measured 6x slower than no bucketing at
+            # all on the remote-tunnel platform)
+            from fashionvisualexpl_tpu.ops.topk import (
+                bucket_banned_ids_device,
+                streaming_counts_bucketed,
+            )
+
+            loc, msk = bucket_banned_ids_device(
+                banned, I, self._counts_tile, self._bucket_w[split]
+            )
+            if self.counts_impl == "pallas":
+                from fashionvisualexpl_tpu.ops.counts import (
+                    streaming_counts_pallas,
+                )
+
+                position_t = streaming_counts_pallas(
+                    uf, item_factors, item_bias,
+                    ref_scores=s_eval, banned_local=loc,
+                    banned_valid=msk, item_block=self._counts_tile,
+                    # interpret mode lets CPU tests exercise this path
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                position_t = streaming_counts_bucketed(
+                    uf, item_factors, item_bias,
+                    ref_scores=s_eval, banned_local=loc,
+                    banned_valid=msk, item_block=self._counts_tile,
+                )
         else:
             position_t = streaming_counts(
                 uf, item_factors, item_bias,

@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _merge_topk(run_vals, run_idx, blk_vals, blk_idx, k):
@@ -183,6 +184,198 @@ def streaming_counts(
     counts, _ = jax.lax.scan(
         body, jnp.zeros(ref_scores.shape, jnp.int32),
         (iv_blocks, ib_blocks, valid, bases),
+    )
+    return counts
+
+
+def _bucket_positions(banned, num_items, blk):
+    """Shared bucketing core: per banned id, its (block, position-in-block
+    -group) under a stable per-row sort by block.  Invalid ids (outside
+    [0, num_items)) sort into a past-the-end bucket."""
+    Bu, Pb = banned.shape
+    n_blocks = -(-num_items // blk)
+    in_range = (banned >= 0) & (banned < num_items)
+    block_of = np.where(in_range, banned // blk, n_blocks)
+    order = np.argsort(block_of, axis=1, kind="stable")
+    sb = np.take_along_axis(block_of, order, axis=1)
+    sid = np.take_along_axis(banned, order, axis=1)
+    idx = np.arange(Pb)
+    change = np.empty((Bu, Pb), bool)
+    change[:, 0] = True
+    if Pb > 1:
+        change[:, 1:] = sb[:, 1:] != sb[:, :-1]
+    start = np.maximum.accumulate(np.where(change, idx[None, :], 0), axis=1)
+    pos = idx[None, :] - start  # position within the (user, block) group
+    return n_blocks, sb, sid, pos, sb < n_blocks
+
+
+def banned_bucket_width(
+    banned_ids, num_items: int, item_block: int, chunk: int = 65536
+) -> int:
+    """Max ids any one user has in any one item block (the static W for
+    bucket_banned_ids), computed in user chunks so 10^6-user tables never
+    materialize the full bucket tensor."""
+    banned = np.asarray(banned_ids)
+    blk = min(item_block, num_items)
+    W = 1
+    for s in range(0, banned.shape[0], chunk):
+        _, _, _, pos, valid = _bucket_positions(
+            banned[s:s + chunk], num_items, blk
+        )
+        if valid.any():
+            W = max(W, int(pos[valid].max()) + 1)
+    return W
+
+
+def bucket_banned_ids(
+    banned_ids, num_items: int, item_block: int, width: Optional[int] = None
+):
+    """Bucket per-user banned ids by item block (host-side, numpy).
+
+    The mask pass of streaming_counts compares every item id in a block
+    against EVERY banned id of every user — O(Bu x blk x Pb) VPU work even
+    though a given block can only contain the few banned ids that fall in
+    its id range (~Pb x blk/I per user on average).  Pre-bucketing the
+    banned lists by block turns that into O(Bu x blk x W) with
+    W = max ids any user has in any one block (typically 2-8 at the
+    benchmark geometry vs Pb ~ 41-81).
+
+    Returns (local [n_blocks, Bu, W] int32 block-LOCAL offsets,
+    valid [n_blocks, Bu, W] bool).  Ids outside [0, num_items) (the pad
+    convention, e.g. -1) are dropped.  Semantics are duplicate-safe: the
+    consumer ORs equality over W exactly like the unbucketed mask pass.
+    `width` pins W (keeps jit shapes static across user blocks — probe
+    with banned_bucket_width); raises if any bucket overflows it.
+    """
+    banned = np.asarray(banned_ids)
+    Bu, Pb = banned.shape
+    blk = min(item_block, num_items)
+    n_blocks, sb, sid, pos, valid_e = _bucket_positions(
+        banned, num_items, blk
+    )
+    w_needed = int(pos[valid_e].max()) + 1 if valid_e.any() else 1
+    W = width if width is not None else max(1, w_needed)
+    if w_needed > W:
+        raise ValueError(f"bucket width {w_needed} exceeds pinned {W}")
+
+    local = np.zeros((n_blocks, Bu, W), np.int32)
+    valid = np.zeros((n_blocks, Bu, W), bool)
+    u_idx = np.broadcast_to(np.arange(Bu)[:, None], (Bu, Pb))
+    b, u, p = sb[valid_e], u_idx[valid_e], pos[valid_e]
+    local[b, u, p] = (sid[valid_e] - b * blk).astype(np.int32)
+    valid[b, u, p] = True
+    return local, valid
+
+
+def bucket_banned_ids_device(
+    banned: jax.Array,  # [Bu, Pb] int32, pad < 0 or >= num_items
+    num_items: int,
+    item_block: int,
+    width: int,
+):
+    """bucket_banned_ids as a pure jnp function (jit/TPU-resident).
+
+    The evaluator calls this INSIDE its jitted block fn: host-side
+    bucketing would ship [n_blocks, Bu, W] tensors through the
+    host->device link every user block, which measured 6x slower than
+    the unbucketed kernel on the remote-tunnel platform.  `width` must
+    come from a banned_bucket_width probe (static); ids that would
+    overflow it are dropped silently here — the probe guarantees none do.
+
+    Scatter-free formulation: position-in-group by counting earlier
+    same-tile ids (O(Pb^2) elementwise, Pb is small) and placement by two
+    tiny batched matmuls — an argsort+scatter version measured ~2.6ms per
+    4096-user block on TPU, comparable to the count kernel it feeds.
+    """
+    Bu, Pb = banned.shape
+    blk = min(item_block, num_items)
+    n_blocks = -(-num_items // blk)
+    in_range = jnp.logical_and(banned >= 0, banned < num_items)
+    tile = jnp.where(in_range, banned // blk, -1)  # -1: matches no block
+    # rank among earlier ids in the same (user, tile) group
+    same_earlier = jnp.logical_and(
+        tile[:, :, None] == tile[:, None, :],
+        jnp.arange(Pb)[None, None, :] < jnp.arange(Pb)[None, :, None],
+    )
+    pos = same_earlier.sum(axis=2, dtype=jnp.int32)  # [Bu, Pb]
+    a = (
+        tile[:, None, :] == jnp.arange(n_blocks, dtype=jnp.int32)[None, :, None]
+    ).astype(jnp.float32)  # [Bu, n_blocks, Pb]
+    b_slot = jnp.logical_and(
+        pos[:, :, None] == jnp.arange(width, dtype=jnp.int32)[None, None, :],
+        in_range[:, :, None],
+    ).astype(jnp.float32)  # [Bu, Pb, W]
+    local_val = (banned - tile * blk).astype(jnp.float32)
+    # HIGHEST precision: local offsets reach item_block-1, beyond bf16's
+    # 8-bit mantissa — the TPU DEFAULT-precision matmul would corrupt
+    # them; full f32 is exact to 2^24 and each (tile, slot) pair is hit
+    # by at most one id
+    hi = jax.lax.Precision.HIGHEST
+    loc = jnp.einsum(
+        "utp,upw->tuw", a, b_slot * local_val[:, :, None], precision=hi
+    )
+    msk = jnp.einsum("utp,upw->tuw", a, b_slot, precision=hi) > 0.5
+    return loc.astype(jnp.int32), msk
+
+
+def streaming_counts_bucketed(
+    user_vecs: jax.Array,  # [Bu, D]
+    item_vecs: jax.Array,  # [I, D]
+    item_bias: Optional[jax.Array],  # [I] or None
+    ref_scores: jax.Array,  # [Bu, T]
+    banned_local: jax.Array,  # [n_blocks, Bu, W] block-local banned offsets
+    banned_valid: jax.Array,  # [n_blocks, Bu, W]
+    item_block: int = 4096,
+) -> jax.Array:
+    """streaming_counts with PRE-BUCKETED banned ids (bucket_banned_ids).
+
+    Bit-identical counts to streaming_counts on the same banned set
+    (pinned in tests); the per-block exclusion compare shrinks from the
+    full banned width Pb to the max-per-block width W.  banned_local's
+    leading dim must equal this call's block count — under the sharded
+    evaluator, shard it over `model` alongside the item rows so each
+    shard scans exactly its own buckets.
+    """
+    Bu, D = user_vecs.shape
+    I = item_vecs.shape[0]
+    blk = min(item_block, I)
+    n_blocks = -(-I // blk)
+    pad = n_blocks * blk - I
+    if banned_local.shape[0] != n_blocks:
+        raise ValueError(
+            f"banned buckets built for {banned_local.shape[0]} blocks, "
+            f"scan has {n_blocks}"
+        )
+
+    iv = jnp.pad(item_vecs, ((0, pad), (0, 0)))
+    ib = (
+        jnp.pad(item_bias, (0, pad)) if item_bias is not None
+        else jnp.zeros((n_blocks * blk,), user_vecs.dtype)
+    )
+    iv_blocks = iv.reshape(n_blocks, blk, D)
+    ib_blocks = ib.reshape(n_blocks, blk)
+    valid = (jnp.arange(n_blocks * blk) < I).reshape(n_blocks, blk)
+    local_iota = jnp.arange(blk, dtype=jnp.int32)
+
+    def body(counts, xs):
+        iv_b, ib_b, valid_b, loc_b, val_b = xs
+        scores = user_vecs @ iv_b.T + ib_b[None, :]  # [Bu, blk] (MXU)
+        is_banned = jnp.logical_and(
+            local_iota[None, :, None] == loc_b[:, None, :],
+            val_b[:, None, :],
+        ).any(axis=2)  # [Bu, blk]
+        ge = jnp.logical_and(
+            jnp.logical_and(
+                scores[:, :, None] >= ref_scores[:, None, :],
+                jnp.logical_not(is_banned)[:, :, None],
+            ),
+            valid_b[None, :, None],
+        ).sum(axis=1, dtype=jnp.int32)
+        return counts + ge, None
+
+    counts, _ = jax.lax.scan(
+        body, jnp.zeros(ref_scores.shape, jnp.int32),
+        (iv_blocks, ib_blocks, valid, banned_local, banned_valid),
     )
     return counts
 

@@ -68,6 +68,79 @@ def test_acf_streaming_matches_dense():
     _assert_same(dense, streaming)
 
 
+@pytest.mark.parametrize("impl", ["mask", "bucketed", "pallas"])
+def test_counts_impls_match_dense(impl):
+    """All three counts engines (id-mask scan, bucketed scan, fused Pallas
+    kernel) must reproduce the dense evaluator exactly — same banned-by-id
+    exclusion semantics, different machinery."""
+    data = synthetic_interactions(40, 50, interactions_per_user=9, seed=7)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    params, frozen = model.init(jax.random.PRNGKey(4))
+    dense = Evaluator(model, data, k=10, user_block=16).evaluate(params, frozen)
+    streaming = FactoredEvaluator(
+        model, data, k=10, user_block=16, item_block=16, counts_impl=impl
+    ).evaluate(params, frozen)
+    _assert_same(dense, streaming)
+
+
+def test_counts_kernels_bit_equal_on_ties():
+    """streaming_counts == bucketed == pallas on quantized (heavy-tie)
+    scores, incl. -1 pads, duplicate banned ids, and T > 1 ref columns."""
+    from fashionvisualexpl_tpu.ops.counts import streaming_counts_pallas
+    from fashionvisualexpl_tpu.ops.topk import (
+        banned_bucket_width,
+        bucket_banned_ids,
+        streaming_counts,
+        streaming_counts_bucketed,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    Bu, I, D, T, Pb = 48, 1000, 16, 3, 9
+    q = lambda a: jnp.asarray(np.round(a * 4) / 4, jnp.float32)
+    uf = q(rng.normal(size=(Bu, D)))
+    iv = q(rng.normal(size=(I, D)))
+    ib = q(rng.normal(size=(I,)))
+    banned = np.stack(
+        [rng.choice(I, size=Pb, replace=False) for _ in range(Bu)]
+    ).astype(np.int32)
+    banned[0, :3] = -1  # pad convention
+    banned[1, 4] = banned[1, 3]  # duplicates must not double-exclude
+    ref = q(rng.normal(size=(Bu, T)))
+
+    base = streaming_counts(
+        uf, iv, ib, ref_scores=ref, banned_ids=jnp.asarray(banned),
+        item_block=256,
+    )
+    W = banned_bucket_width(banned, I, 256, chunk=17)
+    loc, msk = bucket_banned_ids(banned, I, 256, width=W)
+    buck = streaming_counts_bucketed(
+        uf, iv, ib, ref_scores=ref, banned_local=jnp.asarray(loc),
+        banned_valid=jnp.asarray(msk), item_block=256,
+    )
+    pall = streaming_counts_pallas(
+        uf, iv, ib, ref_scores=ref, banned_local=jnp.asarray(loc),
+        banned_valid=jnp.asarray(msk), item_block=256, user_tile=16,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(buck))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(pall))
+
+    # the in-jit device bucketing must agree with the host reference
+    from fashionvisualexpl_tpu.ops.topk import bucket_banned_ids_device
+
+    loc_d, msk_d = jax.jit(
+        lambda b: bucket_banned_ids_device(b, I, 256, W)
+    )(jnp.asarray(banned))
+    np.testing.assert_array_equal(np.asarray(loc_d), loc)
+    np.testing.assert_array_equal(np.asarray(msk_d), msk)
+
+    # pinned width must reject overflowing buckets
+    assert W > 1  # Pb=9 over 4 blocks guarantees a >1 bucket somewhere
+    with pytest.raises(ValueError):
+        bucket_banned_ids(banned, I, 256, width=W - 1)
+
+
 def test_distributed_streaming_matches_dense():
     """Items sharded over an 8-way model axis: distributed top-k merge +
     psum'd counts must reproduce the dense metrics exactly."""

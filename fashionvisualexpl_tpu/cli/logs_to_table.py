@@ -25,6 +25,7 @@ import glob
 import json
 import os
 import re
+import warnings
 
 import pandas as pd
 
@@ -94,6 +95,15 @@ def scrape_reference_log(path: str, params_to_sort=("lr", "emk"),
             test_res = [float(t) for t in content[-7].split("\t")[2:]]
             val_res = [float(v) for v in content[-10].split("\t")[2:]]
             row = {k: _param(k) for k in params_to_sort}
+            if reg_index >= len(regs):
+                # the reference would IndexError here (logs_to_excel.py:50)
+                # — surface the mismatch instead of silently mislabeling
+                # rows from a sweep launched with a different regs list
+                warnings.warn(
+                    f"{path}: {reg_index + 1} END-REGULARIZATION blocks but "
+                    f"only {len(regs)} values in --regs — rows beyond the "
+                    "list get reg=None; pass the sweep's actual --regs list"
+                )
             row["reg"] = (
                 regs[reg_index] if reg_index < len(regs) else None
             )

@@ -29,7 +29,10 @@ def build_parser(description="Run train of the Recommender Model."):
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--verbose", type=int, default=-1,
                    help="checkpoint every N epochs (-1 disables)")
-    p.add_argument("--batch_eval", type=int, default=128)
+    p.add_argument("--batch_eval", type=int, default=128,
+                   help="eval-time item-image encoding batch for "
+                        "attentive_fashion (the reference consumes it at "
+                        "AttentiveFashion.py:338-343)")
     p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--validation", type=lambda s: s not in ("0", "False", "false"),
                    default=True)
@@ -171,6 +174,9 @@ def build_model(args, data, cfg):
             attention_layers=tuple(args.attention_layers),
             compute_dtype=args.compute_dtype,
             host_features=streamed,
+            # --batch_eval: eval-time item-image encoding batch (the
+            # reference consumes it at AttentiveFashion.py:338-343)
+            batch_eval=args.batch_eval,
         )
     if args.rec == "comp_vbpr":
         from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
@@ -316,12 +322,19 @@ def train(argv=None):
             os.path.join(results_dir, f"best-recs-{best_epoch}-{run_tag}.tsv"),
         )
         if args.rec == "grad_fashion":
+            # the reference dumps grads for BOTH the last epoch
+            # (GradFashion.py:236-240) and the best model (:255-258) — its
+            # two calls reuse the recs path and silently overwrite the plain
+            # recommendation TSVs; here each dump gets its own name
+            dump_evaluator.store_recommendation_grads(
+                state.params, frozen,
+                os.path.join(results_dir, f"grads-{last_epoch}-{run_tag}.tsv"),
+                batch_grads_fn=model.feature_attributions_block,
+            )
             dump_evaluator.store_recommendation_grads(
                 extra["best_params"], frozen,
                 os.path.join(results_dir, f"best-grads-{best_epoch}-{run_tag}.tsv"),
-                grads_fn=lambda p, f, u, items: model.feature_attributions(
-                    p, f, u, items
-                ),
+                batch_grads_fn=model.feature_attributions_block,
             )
         if args.rec == "attentive_fashion":
             # attention-augmented dump (reference AttentiveFashion.py:333

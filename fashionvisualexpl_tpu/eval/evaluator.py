@@ -181,27 +181,24 @@ class Evaluator:
                             f"{att[row, it, 0]}\t{att[row, it, 1]}\t{att[row, it, 2]}\n"
                         )
 
-    def store_recommendation_grads(self, params, frozen, path: str, grads_fn) -> None:
+    def store_recommendation_grads(
+        self, params, frozen, path: str, grads_fn=None, batch_grads_fn=None
+    ) -> None:
         """Gradient-attribution TSV (Evaluator.py:261-275):
         `user\\titem\\tcolor_attr\\tedges_attr` for every positive (train +
         validation + test) item of each user.
 
-        grads_fn(params, frozen, user, items) -> [len(items), 2] attributions.
+        batch_grads_fn(params, frozen, users [B], items [B, W]) -> [B, W, 2]
+        engages the bucketed batched engine (explain/grads.py) — a few
+        compiled programs for any catalog size; grads_fn(params, frozen,
+        user, items) -> [len(items), 2] is the per-user fallback.
         """
-        with open(path, "w") as out:
-            for u in range(self.data.num_users):
-                pos_items = (
-                    self.data.training_list[u]
-                    + self.data.validation_list[u]
-                    + self.data.test_list[u]
-                )
-                if not pos_items:
-                    continue
-                g = np.asarray(
-                    grads_fn(params, frozen, u, jnp.asarray(pos_items, jnp.int32))
-                )
-                for i, item in enumerate(pos_items):
-                    out.write(f"{u}\t{item}\t{g[i, 0]}\t{g[i, 1]}\n")
+        from fashionvisualexpl_tpu.explain.grads import write_grads_tsv
+
+        write_grads_tsv(
+            path, self.data, params, frozen,
+            grads_fn=grads_fn, batch_grads_fn=batch_grads_fn,
+        )
 
 
 def print_epoch_block(k, epoch, total_epochs, mean_loss, rec) -> None:

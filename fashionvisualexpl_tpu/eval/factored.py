@@ -153,6 +153,16 @@ class FactoredEvaluator:
         self.user_block = min(user_block, data.num_users)
         self.item_block = item_block
         self.mesh = mesh  # if set (model axis > 1): distributed streaming
+        if counts_impl not in ("auto", "mask", "bucketed", "pallas"):
+            raise ValueError(
+                f"counts_impl {counts_impl!r} not in "
+                "{'auto', 'mask', 'bucketed', 'pallas'}"
+            )
+        if mesh is not None and counts_impl not in ("auto", "mask"):
+            raise ValueError(
+                f"counts_impl {counts_impl!r} is unavailable under a mesh — "
+                "the sharded scan owns its own exclusion (use 'auto'/'mask')"
+            )
         if counts_impl == "auto":
             counts_impl = (
                 "pallas"
@@ -394,6 +404,23 @@ class FactoredEvaluator:
         oversample=4, but not guaranteed.  ``exact=True`` scores stage 1 in
         full fp32 (Precision.HIGHEST), making the dumped ranking provably
         the true fp32 top-k at ~2x the stage-1 cost."""
+        users, ids, vals = self._topk_rows(params, frozen, exact=exact)
+        from fashionvisualexpl_tpu.data.native import write_recs_tsv
+
+        # native parallel formatter (tens of seconds of Python f-string
+        # work at 10^7 rows); Python fallback without the toolchain
+        if not write_recs_tsv(path, users, ids, vals):
+            with open(path, "w") as out:
+                out.writelines(
+                    f"{u}\t{ids[r, j]}\t{vals[r, j]}\n"
+                    for r, u in enumerate(users)
+                    for j in range(self.k)
+                )
+
+    def _topk_rows(self, params, frozen, exact: bool = False):
+        """Top-k (ids, scores) for every user without materializing [U, I]
+        — the shared engine behind the dump writers.  Returns np arrays
+        (users [U], ids [U, k], vals [U, k])."""
         if self.mesh is None:
             from fashionvisualexpl_tpu.serve import RecServer
 
@@ -421,18 +448,7 @@ class FactoredEvaluator:
             users = np.concatenate(all_users)
             ids = np.concatenate(all_ids)
             vals = np.concatenate(all_vals)
-            from fashionvisualexpl_tpu.data.native import write_recs_tsv
-
-            # native parallel formatter (tens of seconds of Python f-string
-            # work at 10^7 rows); Python fallback without the toolchain
-            if not write_recs_tsv(path, users, ids, vals):
-                with open(path, "w") as out:
-                    out.writelines(
-                        f"{u}\t{ids[r, j]}\t{vals[r, j]}\n"
-                        for r, u in enumerate(users)
-                        for j in range(self.k)
-                    )
-            return
+            return users, ids, vals
 
         uf_all, item_factors, item_bias = self.model.factored_eval(
             params, frozen
@@ -440,25 +456,72 @@ class FactoredEvaluator:
         U = self.data.num_users
         P = self._train_items.shape[1]
         k_big = self.k + P
+        all_ids, all_vals = [], []
+        for start in range(0, U, self.user_block):
+            idx = (np.arange(self.user_block) + start) % U
+            uf = jnp.take(uf_all, jnp.asarray(idx), axis=0)
+            train_items = jnp.take(
+                self._train_items, jnp.asarray(idx), axis=0
+            )
+            train_counts = jnp.take(self._train_counts, jnp.asarray(idx))
+            tv, ti, _ = sharded_streaming_topk_and_counts(
+                self.mesh, uf, item_factors, item_bias, k_big,
+                None, None, self.item_block,
+            )
+            vals, ids = filter_items_topk(
+                tv, ti, train_items, train_counts, self.k
+            )
+            n = min(self.user_block, U - start)
+            all_ids.append(np.asarray(ids)[:n])
+            all_vals.append(np.asarray(vals)[:n])
+        return (
+            np.arange(U, dtype=np.int32),
+            np.concatenate(all_ids),
+            np.concatenate(all_vals),
+        )
+
+    def store_recommendation_attention(
+        self, params, frozen, path: str, attention_fn
+    ) -> None:
+        """Attention-augmented top-k TSV (reference Evaluator.py:241-259
+        format) without the dense [U, I] score matrix: the top-k comes from
+        the streaming/serving engine (_topk_rows), then attention weights
+        are computed per user block.
+
+        attention_fn(params, frozen, user_ids, ctx) -> [B, I, 3] — the
+        dense Evaluator's contract, so models plug into either evaluator
+        unchanged.  Memory is [user_block, I, 3] per block (never [U, I])."""
+        users, ids, vals = self._topk_rows(params, frozen)
+        ctx = self.model.precompute_eval(params, frozen)
+        U = self.data.num_users
         with open(path, "w") as out:
             for start in range(0, U, self.user_block):
-                idx = (np.arange(self.user_block) + start) % U
-                uf = jnp.take(uf_all, jnp.asarray(idx), axis=0)
-                train_items = jnp.take(
-                    self._train_items, jnp.asarray(idx), axis=0
+                n = min(self.user_block, U - start)
+                idx = np.arange(start, start + n)
+                att = np.asarray(
+                    attention_fn(params, frozen, jnp.asarray(idx), ctx)
                 )
-                train_counts = jnp.take(self._train_counts, jnp.asarray(idx))
-                tv, ti, _ = sharded_streaming_topk_and_counts(
-                    self.mesh, uf, item_factors, item_bias, k_big,
-                    None, None, self.item_block,
-                )
-                vals, ids = filter_items_topk(
-                    tv, ti, train_items, train_counts, self.k
-                )
-                vals, ids = np.asarray(vals), np.asarray(ids)
-                for row in range(self.user_block):
+                for row in range(n):
                     u = start + row
-                    if u >= U:
-                        break
                     for j in range(self.k):
-                        out.write(f"{u}\t{ids[row, j]}\t{vals[row, j]}\n")
+                        it = ids[u, j]
+                        out.write(
+                            f"{u}\t{it}\t{vals[u, j]}\t"
+                            f"{att[row, it, 0]}\t{att[row, it, 1]}\t"
+                            f"{att[row, it, 2]}\n"
+                        )
+
+    def store_recommendation_grads(
+        self, params, frozen, path: str, grads_fn=None, batch_grads_fn=None
+    ) -> None:
+        """Gradient-attribution TSV (reference Evaluator.py:261-275) — the
+        dump never needs the [U, I] matrix at all, so the streaming
+        evaluator delegates to the same engine as the dense one (fixes the
+        AttributeError the round-2 CLI hit on
+        `--rec grad_fashion --streaming_eval`)."""
+        from fashionvisualexpl_tpu.explain.grads import write_grads_tsv
+
+        write_grads_tsv(
+            path, self.data, params, frozen,
+            grads_fn=grads_fn, batch_grads_fn=batch_grads_fn,
+        )

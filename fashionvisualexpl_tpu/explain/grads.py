@@ -9,12 +9,126 @@ of src/get_explanations.py.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, n - 1).bit_length() if n > 1 else 1
+
+
+def batched_attributions(
+    batch_fn: Callable,
+    params,
+    frozen,
+    data,
+    user_block: int = 512,
+) -> Dict[int, np.ndarray]:
+    """Grad-x-input attributions for every (user, positive-item) pair,
+    computed in BUCKETED fixed-shape blocks — a few compiled programs total
+    instead of one dispatch (and possibly one compile) per user.
+
+    The reference fans a GradientTape per (u, i) over a thread pool
+    (src/recommender/models/GradFashion.py:294-302); the previous engine here
+    still dispatched per user with a different positive-list length each time
+    (recompile per distinct count).  This one pads each user's positive list
+    to the next power-of-two width, groups users by that width, and runs
+    `batch_fn(params, frozen, users [B], items [B, W]) -> [B, W, 2]` on
+    power-of-two-sized user blocks: compiled-program count is bounded by
+    log2(max_pos) x log2(user_block) regardless of catalog scale.
+
+    Pad slots repeat the row's first item; their attributions are computed
+    and discarded.  Grads are per-item independent, so real slots match the
+    per-user path to the last ulp (the outer vmap batches the matmuls, so
+    exact bit-equality is not guaranteed — pinned at rtol=1e-5 in
+    tests/test_grad_fashion.py).
+
+    Returns {user: [n_pos, 2] float32} for users with >= 1 positive.
+    """
+    per_user: Dict[int, Sequence[int]] = {}
+    buckets: Dict[int, list] = {}
+    for u in range(data.num_users):
+        pos = (
+            data.training_list[u] + data.validation_list[u] + data.test_list[u]
+        )
+        if not pos:
+            continue
+        per_user[u] = pos
+        buckets.setdefault(_pow2(len(pos)), []).append(u)
+
+    fn = jax.jit(batch_fn)
+    out: Dict[int, np.ndarray] = {}
+    for width, users in sorted(buckets.items()):
+        for s in range(0, len(users), user_block):
+            chunk = users[s : s + user_block]
+            B = _pow2(min(len(chunk), user_block))
+            u_arr = np.zeros((B,), np.int32)
+            i_arr = np.zeros((B, width), np.int32)
+            for r in range(B):
+                u = chunk[min(r, len(chunk) - 1)]  # tail pad: repeat last user
+                pos = per_user[u]
+                u_arr[r] = u
+                i_arr[r, : len(pos)] = pos
+                i_arr[r, len(pos) :] = pos[0]
+            g = np.asarray(
+                fn(params, frozen, jnp.asarray(u_arr), jnp.asarray(i_arr))
+            )
+            for r, u in enumerate(chunk):
+                out[u] = g[r, : len(per_user[u])].astype(np.float32)
+    return out
+
+
+def write_grads_tsv(
+    path: str,
+    data,
+    params,
+    frozen,
+    grads_fn: Optional[Callable] = None,
+    batch_grads_fn: Optional[Callable] = None,
+    user_block: int = 512,
+) -> None:
+    """Gradient-attribution TSV (reference Evaluator.py:261-275 format):
+    `user\\titem\\tcolor_attr\\tedges_attr` for every positive (train +
+    validation + test) item of each user, in user order.
+
+    With ``batch_grads_fn`` (batch_fn contract of batched_attributions) the
+    bucketed batched engine runs; otherwise falls back to the per-user
+    ``grads_fn(params, frozen, user, items) -> [len(items), 2]`` loop."""
+    if batch_grads_fn is not None:
+        att = batched_attributions(
+            batch_grads_fn, params, frozen, data, user_block=user_block
+        )
+        with open(path, "w") as out:
+            for u in sorted(att):
+                pos = (
+                    data.training_list[u]
+                    + data.validation_list[u]
+                    + data.test_list[u]
+                )
+                g = att[u]
+                for i, item in enumerate(pos):
+                    out.write(f"{u}\t{item}\t{g[i, 0]}\t{g[i, 1]}\n")
+        return
+    if grads_fn is None:
+        raise ValueError("one of grads_fn / batch_grads_fn is required")
+    with open(path, "w") as out:
+        for u in range(data.num_users):
+            pos_items = (
+                data.training_list[u]
+                + data.validation_list[u]
+                + data.test_list[u]
+            )
+            if not pos_items:
+                continue
+            g = np.asarray(
+                grads_fn(params, frozen, u, jnp.asarray(pos_items, jnp.int32))
+            )
+            for i, item in enumerate(pos_items):
+                out.write(f"{u}\t{item}\t{g[i, 0]}\t{g[i, 1]}\n")
 
 
 def explanation_table(

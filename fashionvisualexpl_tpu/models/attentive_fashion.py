@@ -74,6 +74,7 @@ class AttentiveFashion(RecommenderModel):
         item_block: int = 1024,
         compute_dtype: str = "float32",
         host_features: bool = False,
+        batch_eval: Optional[int] = None,
     ):
         super().__init__(num_users, num_items)
         for f, nm in (
@@ -105,6 +106,12 @@ class AttentiveFashion(RecommenderModel):
         # bf16 MXU path for the trainable towers (core/precision.py); fp32
         # default keeps bit-exact parity.  Master params stay fp32 either way.
         self.compute_dtype = resolve_compute_dtype(compute_dtype)
+        # batch_eval = eval-time item-ENCODING batch (the reference's
+        # --batch_eval, consumed at AttentiveFashion.py:338-343): items are
+        # encoded once per eval in fixed-size blocks of this many images,
+        # bounding the [B, H, W, filters] conv activation.  None = all at
+        # once (host_features mode falls back to item_block).
+        self.batch_eval = None if batch_eval is None else int(batch_eval)
 
     def row_sharded_params(self):
         return ("Gu", "Gi")
@@ -323,8 +330,31 @@ class AttentiveFashion(RecommenderModel):
         (absent) device-resident frozen stacks — only the [I, 3, K] encoded
         cache ever lives in HBM, not the [I, H, W, 1] images."""
         if not self.host_features:
-            return self.encode_items(params, frozen)  # [I, 3, K]
-        blk = min(self.item_block, self.num_items)
+            if self.batch_eval is None or self.batch_eval >= self.num_items:
+                return self.encode_items(params, frozen)  # [I, 3, K]
+            # --batch_eval: encode in fixed-size image blocks (reference
+            # AttentiveFashion.py:338-343) — per-item results are
+            # independent, so blocking only bounds the conv activation
+            blk = self.batch_eval
+            I = self.num_items
+            n_blocks = -(-I // blk)
+            pad = n_blocks * blk - I
+            col = jnp.pad(frozen["Fc"], ((0, pad), (0, 0)))
+            img = jnp.pad(frozen["Fe_img"], ((0, pad),) + ((0, 0),) * 3)
+            cls = jnp.pad(frozen["Fcls"], ((0, pad), (0, 0)))
+            e = jax.lax.map(
+                lambda t: self.encode_batch(params, *t),
+                (
+                    col.reshape(n_blocks, blk, -1),
+                    img.reshape((n_blocks, blk) + img.shape[1:]),
+                    cls.reshape(n_blocks, blk, -1),
+                ),
+            )  # [n, blk, 3, K]
+            return e.reshape(n_blocks * blk, 3, self.embed_k)[:I]
+        blk = min(
+            self.batch_eval if self.batch_eval is not None else self.item_block,
+            self.num_items,
+        )
         enc = self._host_block_encoder()
         outs = []
         col_buf = np.zeros((blk, self.dim_c), np.float32)

@@ -273,3 +273,16 @@ class GradFashion(RecommenderModel):
             return jnp.stack([jnp.sum(gc * c), jnp.sum(ge * e)])
 
         return jax.vmap(per_item)(items)
+
+    def feature_attributions_block(self, params, frozen, users, items):
+        """Batched attributions: users [B], items [B, W] -> [B, W, 2].
+
+        One fixed-shape XLA program for a whole user block — the batch_fn
+        contract of explain/grads.py batched_attributions, replacing the
+        per-user dispatch (the last survivor of the reference's
+        per-user-pathology, GradFashion.py:294-302).  Per-(user, item)
+        results are independent and match feature_attributions to the last
+        ulp (pinned in tests)."""
+        return jax.vmap(
+            lambda u, row: self.feature_attributions(params, frozen, u, row)
+        )(users, items)

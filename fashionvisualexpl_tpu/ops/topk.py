@@ -272,6 +272,7 @@ def bucket_banned_ids_device(
     num_items: int,
     item_block: int,
     width: int,
+    return_overflow: bool = False,
 ):
     """bucket_banned_ids as a pure jnp function (jit/TPU-resident).
 
@@ -279,8 +280,13 @@ def bucket_banned_ids_device(
     bucketing would ship [n_blocks, Bu, W] tensors through the
     host->device link every user block, which measured 6x slower than
     the unbucketed kernel on the remote-tunnel platform.  `width` must
-    come from a banned_bucket_width probe (static); ids that would
-    overflow it are dropped silently here — the probe guarantees none do.
+    come from a banned_bucket_width probe (static) — unlike the host
+    version this function cannot raise inside jit, so an id whose
+    in-block rank reaches `width` is DROPPED (it would then be counted as
+    a negative and corrupt AUC/ranks).  Callers whose width is not
+    probe-backed must pass ``return_overflow=True`` and check the third
+    output (the number of dropped ids) — the loud-failure analogue of
+    bucket_banned_ids' ValueError.
 
     Scatter-free formulation: position-in-group by counting earlier
     same-tile ids (O(Pb^2) elementwise, Pb is small) and placement by two
@@ -315,6 +321,11 @@ def bucket_banned_ids_device(
         "utp,upw->tuw", a, b_slot * local_val[:, :, None], precision=hi
     )
     msk = jnp.einsum("utp,upw->tuw", a, b_slot, precision=hi) > 0.5
+    if return_overflow:
+        overflow = jnp.sum(
+            jnp.logical_and(in_range, pos >= width), dtype=jnp.int32
+        )
+        return loc.astype(jnp.int32), msk, overflow
     return loc.astype(jnp.int32), msk
 
 

@@ -194,3 +194,23 @@ def test_cli_get_explanations(tmp_path):
     edges = pd.read_csv(os.path.join(rdir, "edges_reviews.tsv"), sep="\t")
     assert len(color) == 5 and len(edges) == 5
     assert "REVIEW" in color.columns
+
+
+def test_cli_streaming_eval_grad_fashion(dataset_dir):
+    """Round-2 latent crash: grad_fashion has factored_eval, so
+    --streaming_eval selects FactoredEvaluator as the dump evaluator —
+    which must also provide the grads dump."""
+    rdir = _run(dataset_dir, "grad_fashion", extra=("--streaming_eval",))
+    assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+    assert glob.glob(os.path.join(rdir, "best-grads-*.tsv"))
+    assert glob.glob(os.path.join(rdir, "grads-2-*.tsv"))
+
+
+def test_cli_batch_eval_honored(dataset_dir):
+    """--batch_eval (eval-time item-encoding batch, reference
+    AttentiveFashion.py:338-343) must block the encoder without changing
+    results."""
+    rdir = _run(dataset_dir, "attentive_fashion", extra=("--batch_eval", "7"))
+    recs = glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+    assert recs
+    assert len(open(recs[0]).read().strip().split("\n")) == 20 * 5

@@ -226,3 +226,78 @@ def test_approx_max_k_exactness_pin():
     av, ai = jax.lax.approx_max_k(x, 21, recall_target=1.0)
     np.testing.assert_array_equal(np.asarray(tv), np.asarray(av))
     np.testing.assert_array_equal(np.asarray(ti), np.asarray(ai))
+
+
+def test_counts_impl_validation():
+    data = synthetic_interactions(10, 12, interactions_per_user=4, seed=9)
+    model = BPRMF(data.num_users, data.num_items, embed_k=4)
+    with pytest.raises(ValueError, match="counts_impl"):
+        FactoredEvaluator(model, data, counts_impl="palas")
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="mesh"):
+        FactoredEvaluator(
+            model, data, mesh=make_mesh(data=1, model=8),
+            counts_impl="pallas",
+        )
+
+
+def test_bucket_device_overflow_signal():
+    """An underestimated pinned width must be detectable: return_overflow
+    reports the number of dropped ids (the in-jit analogue of
+    bucket_banned_ids' ValueError)."""
+    import jax.numpy as jnp
+
+    from fashionvisualexpl_tpu.ops.topk import (
+        banned_bucket_width,
+        bucket_banned_ids_device,
+    )
+
+    rng = np.random.default_rng(11)
+    I = 64
+    banned = np.stack(
+        [rng.choice(I, size=9, replace=False) for _ in range(6)]
+    ).astype(np.int32)
+    W = banned_bucket_width(banned, I, 16)
+    assert W > 1
+    _, _, ok = bucket_banned_ids_device(
+        jnp.asarray(banned), I, 16, W, return_overflow=True
+    )
+    assert int(ok) == 0
+    _, _, dropped = bucket_banned_ids_device(
+        jnp.asarray(banned), I, 16, W - 1, return_overflow=True
+    )
+    assert int(dropped) > 0
+
+
+def test_streaming_grads_dump_matches_dense(tmp_path):
+    """The streaming evaluator's grads dump (the round-2 CLI crash:
+    grad_fashion --streaming_eval) — batched engine vs the dense
+    evaluator's per-user loop: same rows, values to the last ulp."""
+    data = synthetic_interactions(18, 26, interactions_per_user=6, seed=12)
+    color = synthetic_features(data.num_items, 8, seed=13)
+    edges = synthetic_features(data.num_items, 6, seed=14)
+    model = GradFashion(
+        data.num_users, data.num_items, color, edges,
+        embed_k=6, embed_d=3, embed_color=4, embed_edges=4,
+    )
+    params, frozen = model.init(jax.random.PRNGKey(7))
+    dense_path = str(tmp_path / "dense.tsv")
+    stream_path = str(tmp_path / "stream.tsv")
+    Evaluator(model, data, k=5, user_block=8).store_recommendation_grads(
+        params, frozen, dense_path, grads_fn=model.feature_attributions
+    )
+    FactoredEvaluator(
+        model, data, k=5, user_block=8
+    ).store_recommendation_grads(
+        params, frozen, stream_path,
+        batch_grads_fn=model.feature_attributions_block,
+    )
+    dense = [l.split("\t") for l in open(dense_path)]
+    stream = [l.split("\t") for l in open(stream_path)]
+    assert [d[:2] for d in dense] == [s[:2] for s in stream]
+    np.testing.assert_allclose(
+        [[float(d[2]), float(d[3])] for d in dense],
+        [[float(s[2]), float(s[3])] for s in stream],
+        rtol=1e-5, atol=1e-6,
+    )

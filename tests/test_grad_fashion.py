@@ -125,3 +125,36 @@ def test_trains_and_explains_end_to_end():
     color_driven, edge_driven = join_reviews(table, reviews, top_n=5)
     assert len(color_driven) == 5 and len(edge_driven) == 5
     assert (color_driven["DIFF"].values >= edge_driven["DIFF"].values).all()
+
+
+def test_batched_attributions_match_per_user():
+    """The bucketed batched engine (explain/grads.py batched_attributions)
+    must match the per-user path on every real slot (last-ulp: the outer
+    vmap batches the matmuls)."""
+    from fashionvisualexpl_tpu.explain.grads import batched_attributions
+
+    data = synthetic_interactions(23, 31, interactions_per_user=5, seed=21)
+    color = synthetic_features(data.num_items, 9, seed=22)
+    edges = synthetic_features(data.num_items, 7, seed=23)
+    model = GradFashion(
+        data.num_users, data.num_items, color, edges,
+        embed_k=6, embed_d=3, embed_color=4, embed_edges=3,
+    )
+    params, frozen = model.init(jax.random.PRNGKey(9))
+    att = batched_attributions(
+        model.feature_attributions_block, params, frozen, data, user_block=8
+    )
+    for u in range(data.num_users):
+        pos = (
+            data.training_list[u] + data.validation_list[u]
+            + data.test_list[u]
+        )
+        if not pos:
+            assert u not in att
+            continue
+        ref = np.asarray(
+            model.feature_attributions(
+                params, frozen, u, jnp.asarray(pos, jnp.int32)
+            )
+        )
+        np.testing.assert_allclose(att[u], ref, rtol=1e-5, atol=1e-6)

@@ -71,6 +71,12 @@ def build_parser(description="Run train of the Recommender Model."):
                    help="compute dtype for the trainable encoder towers "
                         "(attentive_fashion / comp_vbpr): bfloat16 rides "
                         "the MXU at full rate; params/loss stay fp32")
+    p.add_argument("--edge_tower", choices=["auto", "fused", "xla"],
+                   default="auto",
+                   help="attentive_fashion conv->pool->GAP tower impl: "
+                        "fused = the Pallas VMEM-resident kernel "
+                        "(ops/edge_tower.py), xla = inline ops, auto = "
+                        "fused on TPU for even image sizes")
     p.add_argument("--streaming_eval", action="store_true",
                    help="use the blocked streaming evaluator (factored models)")
     p.add_argument("--streamed", action="store_true",
@@ -108,6 +114,11 @@ def build_parser(description="Run train of the Recommender Model."):
                    help="acf: attend over EVERY positive at evaluation "
                         "(chunked online-softmax scan; reference-exact "
                         "eval profiles regardless of --max_user_pos)")
+    p.add_argument("--acf_exact_train", action="store_true",
+                   help="acf: attend over EVERY positive during TRAINING "
+                        "too (reference ACF.py:169-179,201-207 semantics; "
+                        "gradients through the chunked scan).  Generic "
+                        "train path only")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis size")
     p.add_argument("--mesh_model", type=int, default=1,
@@ -177,6 +188,7 @@ def build_model(args, data, cfg):
             # --batch_eval: eval-time item-image encoding batch (the
             # reference consumes it at AttentiveFashion.py:338-343)
             batch_eval=args.batch_eval,
+            edge_tower=args.edge_tower,
         )
     if args.rec == "comp_vbpr":
         from fashionvisualexpl_tpu.data.pipeline import load_edge_image_stack
@@ -220,6 +232,7 @@ def build_model(args, data, cfg):
             layers_item=tuple(args.layers_item),
             max_user_pos=args.max_user_pos,
             exact_eval=args.acf_exact_eval,
+            exact_train=args.acf_exact_train,
         )
     raise NotImplementedError("Not implemented or unknown Recommender Model.")
 

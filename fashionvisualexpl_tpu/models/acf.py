@@ -14,11 +14,14 @@ attention runs as one XLA program with masked softmax over the padding.
 
 The positive-set cap P (`max_user_pos`) subsamples users with more positives
 than P during TRAINING (the reference uses all, with ragged shapes XLA
-cannot compile).  Evaluation can be exact: `exact_eval=True` attends over
-every positive via a chunked lax.scan with online-softmax renormalization
-(`_attentive_profile_chunked`) — no user is subsampled at eval, matching
-reference ACF.py:169-179,213-224 exactly.  The training cap's measured
-accuracy impact is recorded in BASELINE.md (scripts/acf_cap_experiment.py).
+cannot compile).  Both sides can be exact: `exact_eval=True` attends over
+every positive at evaluation and `exact_train=True` does the same during
+training WITH gradients, via a chunked lax.scan with online-softmax
+renormalization (`_attentive_profile_chunked`, scan body rematerialized
+for the backward pass) — no user is ever subsampled, matching reference
+ACF.py:169-179,201-224 exactly at bounded memory.  The training cap's
+measured accuracy impact (when exact_train is off) is recorded in
+BASELINE.md (scripts/acf_cap_experiment.py).
 """
 
 from __future__ import annotations
@@ -76,6 +79,7 @@ class ACF(RecommenderModel):
         padded_positives: Optional[np.ndarray] = None,  # [U, P] int32
         positive_counts: Optional[np.ndarray] = None,  # [U] int32
         exact_eval: bool = False,
+        exact_train: bool = False,
         pos_chunk: int = 64,
     ):
         """Either `data` (per-user lists, padded/subsampled to
@@ -90,9 +94,18 @@ class ACF(RecommenderModel):
         to the true maximum positive count (no subsampling) and the profile
         runs as a lax.scan over `pos_chunk`-wide windows with online
         (running-max) softmax renormalization, so memory stays bounded at
-        [B, pos_chunk, S, C] regardless of the heaviest user.  Training
-        still subsamples to `max_user_pos` (measured impact: see
-        scripts/acf_cap_experiment.py and BASELINE.md)."""
+        [B, pos_chunk, S, C] regardless of the heaviest user.
+
+        `exact_train=True` additionally makes TRAINING profiles attend over
+        every positive (the reference semantics, ACF.py:169-179,201-207 —
+        no `max_user_pos` subsampling): the train table pads to the true
+        maximum and gradients flow through the same chunked scan, with the
+        scan body rematerialized (jax.checkpoint) so the backward pass
+        recomputes each [B, W, S, C] window instead of saving them all.
+        Requires the generic train path (the packed engine's
+        fixed-extra-rows layout is exactly the cap being removed).  The
+        cap's measured accuracy impact when exact_train is off: see
+        scripts/acf_cap_experiment.py and BASELINE.md."""
         super().__init__(num_users, num_items)
         if spatial_features.shape[0] != num_items:
             raise ValueError("spatial features rows != num_items")
@@ -105,6 +118,7 @@ class ACF(RecommenderModel):
         self.C = int(spatial_features.shape[2])
         self._spatial = np.asarray(spatial_features, np.float32)
         self.exact_eval = bool(exact_eval)
+        self.exact_train = bool(exact_train)
         self.pos_chunk = int(pos_chunk)
 
         if padded_positives is not None:
@@ -126,9 +140,16 @@ class ACF(RecommenderModel):
         self.max_user_pos = int(max_user_pos if max_user_pos is not None else 64)
         rng = np.random.default_rng(seed)
         # train-time profile uses train positives (ACF.py:201-203);
-        # eval profile uses train+validation positives (ACF.py:216-218)
+        # eval profile uses train+validation positives (ACF.py:216-218).
+        # exact_train: pad to the TRUE maximum — no subsampling, matching
+        # the reference's attend-over-all-positives training semantics
+        train_width = (
+            max(1, max(len(r) for r in data.training_list))
+            if self.exact_train
+            else self.max_user_pos
+        )
         self._pos_train, self._cnt_train = _pad_user_pos(
-            data.training_list, self.max_user_pos, rng
+            data.training_list, train_width, rng
         )
         eval_lists = [
             list(t) + list(v)
@@ -272,7 +293,9 @@ class ACF(RecommenderModel):
             jnp.zeros((B,), jnp.float32),
             jnp.zeros((B, K), jnp.float32),
         )
-        (m, s, acc), _ = jax.lax.scan(body, init, (chunks, offs))
+        # remat the body: under jax.grad (exact_train) the backward pass
+        # recomputes each [B, W, S, C] window instead of saving all of them
+        (m, s, acc), _ = jax.lax.scan(jax.checkpoint(body), init, (chunks, offs))
         profile = acc / jnp.maximum(s, 1e-30)[:, None]
         profile = jnp.where(cnt[:, None] > 0, profile, 0.0)
         return g_u + profile
@@ -286,7 +309,7 @@ class ACF(RecommenderModel):
         pos = jnp.take(frozen[pos_key], users, axis=0)  # [B, P]
         cnt = jnp.take(frozen[cnt_key], users)  # [B]
         g_u = self.take("Gu", params["Gu"], users)  # [B, K]
-        if not train_only and self.exact_eval:
+        if (self.exact_train if train_only else self.exact_eval):
             return self._attentive_profile_chunked(params, frozen, g_u, pos, cnt)
         f = jnp.take(frozen["Fspat"], pos, axis=0)  # [B, P, S, C]
         B_, P_ = pos.shape
@@ -342,6 +365,12 @@ class ACF(RecommenderModel):
     def packed_spec(self):
         from fashionvisualexpl_tpu.models.base import PackedSpec
 
+        if self.exact_train:
+            raise ValueError(
+                "acf exact_train requires the generic train path: the "
+                "packed engine's fixed extra_items row layout is exactly "
+                "the per-user positive cap exact_train removes"
+            )
         # the attentive profile reads Gi/Pi rows of each user's padded
         # positive set (ACF.py:164-179) beyond the batch pos/neg rows —
         # declared via extra_items so the engine gathers them and routes

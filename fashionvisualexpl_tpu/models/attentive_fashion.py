@@ -75,6 +75,8 @@ class AttentiveFashion(RecommenderModel):
         compute_dtype: str = "float32",
         host_features: bool = False,
         batch_eval: Optional[int] = None,
+        edge_tower: str = "auto",
+        tower_batch_tile: int = 32,
     ):
         super().__init__(num_users, num_items)
         for f, nm in (
@@ -112,6 +114,29 @@ class AttentiveFashion(RecommenderModel):
         # bounding the [B, H, W, filters] conv activation.  None = all at
         # once (host_features mode falls back to item_block).
         self.batch_eval = None if batch_eval is None else int(batch_eval)
+        # edge_tower selects the conv->pool->GAP implementation:
+        #   "xla"   — the inline XLA tower (materializes the [B, H, W, C]
+        #             activation through HBM each op);
+        #   "fused" — the Pallas fused kernel (ops/edge_tower.py): the
+        #             activation never leaves VMEM (interpret-mode off TPU);
+        #   "auto"  — fused on TPU when H and W are even, else xla.
+        # Both paths are pinned equivalent in tests/test_edge_tower.py; they
+        # differ in the last ulp (banded-matmul vs direct conv accumulation).
+        if edge_tower not in ("auto", "fused", "xla"):
+            raise ValueError(f"edge_tower {edge_tower!r} not in auto/fused/xla")
+        h_img, w_img = self._edges.shape[1:3]
+        fused_ok = h_img % 2 == 0 and w_img % 2 == 0
+        if edge_tower == "fused" and not fused_ok:
+            raise ValueError(
+                f"edge_tower='fused' needs even H, W (got {h_img}x{w_img})"
+            )
+        self.edge_tower = edge_tower
+        self._fused_tower = edge_tower == "fused" or (
+            edge_tower == "auto"
+            and fused_ok
+            and jax.default_backend() == "tpu"
+        )
+        self.tower_batch_tile = int(tower_batch_tile)
 
     def row_sharded_params(self):
         return ("Gu", "Gi")
@@ -178,21 +203,34 @@ class AttentiveFashion(RecommenderModel):
 
     def _edges_encode(self, enc, images, rng):
         """Conv(5x5, same, relu) -> MaxPool(2x2, same) -> GAP -> Dropout ->
-        Dense (AttentiveFashion.py:57-64).  NHWC, MXU-friendly conv."""
+        Dense (AttentiveFashion.py:57-64).  NHWC, MXU-friendly conv.
+
+        With the fused tower (see ``edge_tower``) the conv/pool/GAP stage
+        runs as the Pallas kernel ops/edge_tower.py — the [B, H, W, C]
+        activation never round-trips HBM; gradients flow to conv_W/conv_b
+        (images are frozen features, their grad is zero by contract)."""
         cd = self.compute_dtype
-        y = jax.lax.conv_general_dilated(
-            cast_compute(images, cd), cast_compute(enc["conv_W"], cd),
-            window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + cast_compute(enc["conv_b"], cd)
-        y = jax.nn.relu(y)
-        y = jax.lax.reduce_window(
-            y, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
-            padding="SAME",
-        )
-        # GAP accumulates over H*W elements — keep the reduction fp32
-        y = jnp.mean(cast_f32(y), axis=(1, 2))  # [B, filters]
+        if self._fused_tower:
+            from fashionvisualexpl_tpu.ops.edge_tower import edge_tower_gap
+
+            y = edge_tower_gap(
+                cast_compute(images, cd), enc["conv_W"], enc["conv_b"],
+                self.tower_batch_tile, jax.default_backend() != "tpu",
+            )  # [B, filters] f32
+        else:
+            y = jax.lax.conv_general_dilated(
+                cast_compute(images, cd), cast_compute(enc["conv_W"], cd),
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + cast_compute(enc["conv_b"], cd)
+            y = jax.nn.relu(y)
+            y = jax.lax.reduce_window(
+                y, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+                padding="SAME",
+            )
+            # GAP accumulates over H*W elements — keep the reduction fp32
+            y = jnp.mean(cast_f32(y), axis=(1, 2))  # [B, filters]
         y = _dropout(y, self.dropout_rate, rng)
         return cast_f32(cast_compute(y, cd) @ cast_compute(enc["W2"], cd))
 

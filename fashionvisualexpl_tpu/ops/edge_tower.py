@@ -29,6 +29,12 @@ routes grads through the two max stages with XLA's first-match tie rule
 order), and accumulates dM/db on the MXU across the batch grid.  Images
 are FROZEN features in every caller (AttentiveFashion's Fe_img) — the
 custom VJP returns zeros for them by design.
+
+Consumed by AttentiveFashion._edges_encode (edge_tower="fused"/"auto" on
+TPU); pinned against edge_tower_gap_xla in tests/test_edge_tower.py.
+CompVBPR's edge tower is the reference's AlexNet-style multi-layer CNN
+(models/cnn.py, CompVBPR.py:96-103) — a different architecture this
+single-conv kernel deliberately does not cover.
 """
 
 from __future__ import annotations

@@ -12,6 +12,12 @@ Covered recs (reference files mirrored):
 - vbpr          VBPR.py:99-144   (frozen F, whole-matrix E/Bp reg, reg/10)
 - grad_fashion  GradFashion.py:136-193 (two families, NO /10, whole-matrix
                 Ec/Ee/E/Bp reg)
+- attentive_fashion  AttentiveFashion.py:209-256 (3 trainable encoders w/
+                Dropout(0.5), user-gated modality attention, reg on encoder
+                OUTPUT activations + attention matrices, no item bias)
+- comp_vbpr     CompVBPR.py:105-311 (4 families: 3 frozen projections +
+                trainable AlexNet edge tower; neg-bias reg/10; whole-matrix
+                E*/Bp* + CNN non-bias reg)
 - acf           ACF.py:135-264.  NOTE the reference detaches the attentive
                 user profile from the tape (`tf.Variable(np.asarray(...))`,
                 ACF.py:205-211): gradients reach ONLY Gi through the score;
@@ -68,11 +74,19 @@ def make_features(data, seed=0):
     def maxabs(x):
         return (x / max(np.abs(x).max(), 1e-12)).astype(np.float32)
 
+    onehot = np.zeros((I, 10), np.float32)
+    onehot[np.arange(I), rng.integers(0, 10, size=I)] = 1.0
     return {
         "cnn": maxabs(rng.normal(size=(I, 24))),
         "color": maxabs(rng.random((I, 16))),
         "edges": maxabs(rng.random((I, 12))),
         "spatial": rng.normal(size=(I, 4, 8)).astype(np.float32) * 0.1,
+        # encoder-model inputs: small edge images keep the torch-CPU conv
+        # towers tractable at parity scale; class one-hots like the
+        # reference's VGG-classification encodings (extract_features.py:42-47)
+        "edge_imgs": rng.random((I, 8, 8, 1)).astype(np.float32),
+        "class": onehot,
+        "texture": maxabs(rng.normal(size=(I, 20))),
     }
 
 
@@ -315,6 +329,245 @@ def train_reference_torch_acf(data, args, feats, semantics, seed=0):
     return scores.numpy()
 
 
+def _glorot_conv(kh, kw, cin, cout):
+    """Keras GlorotUniform for conv kernels (fan over the receptive field),
+    returned in torch layout [cout, cin, kh, kw]."""
+    fan_in, fan_out = kh * kw * cin, kh * kw * cout
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return (torch.rand(cout, cin, kh, kw) * 2 * limit - limit).requires_grad_()
+
+
+def _same_conv(x, w, b, stride=1):
+    """TF/Keras padding='same' conv (torch Conv2d can't do same+stride>1)."""
+    import torch.nn.functional as tF
+
+    kh, kw = w.shape[2], w.shape[3]
+    ih, iw = x.shape[2], x.shape[3]
+    oh, ow = -(-ih // stride), -(-iw // stride)
+    ph = max((oh - 1) * stride + kh - ih, 0)
+    pw = max((ow - 1) * stride + kw - iw, 0)
+    x = tF.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+    return tF.conv2d(x, w, b, stride=stride)
+
+
+def _same_maxpool2(x):
+    """MaxPool2D(2, 2, padding='same') — ceil_mode covers the odd edge."""
+    import torch.nn.functional as tF
+
+    return tF.max_pool2d(x, 2, 2, ceil_mode=True)
+
+
+def train_reference_torch_attentive_fashion(data, args, feats, seed=0):
+    """AttentiveFashion.py:209-256: three trainable encoders (color MLP /
+    edges Conv2D tower / class MLP, :50-71, Keras defaults: Glorot weights,
+    zero biases, Dropout(0.5) active in training), user-gated modality
+    attention (:146-166, relu on layer 0 only, softmax over the 3
+    modalities), score sum(gamma_u * weighted * gamma_i) (:193-199), reg on
+    batch embeddings + ENCODER OUTPUTS (post-dropout, as the tape sees
+    them) + all attention matrices (:228-243).  No item bias in the score
+    and no /10 anywhere."""
+    import torch.nn.functional as tF
+
+    torch.manual_seed(seed)
+    U, I, K = data.num_users, data.num_items, args.embed_k
+    reg = args.reg
+    t_att = args.attention_layers
+    Fc = torch.tensor(feats["color"])
+    Fimg = torch.tensor(feats["edge_imgs"]).permute(0, 3, 1, 2).contiguous()
+    Fcls = torch.tensor(feats["class"])
+    Gu, Gi = _glorot(U, K), _glorot(I, K)
+
+    def mlp(dim):
+        return {
+            "W1": _glorot(dim, 256),
+            "b1": torch.zeros(256, requires_grad=True),
+            "W2": _glorot(256, K),
+        }
+
+    color_enc, class_enc = mlp(Fc.shape[1]), mlp(Fcls.shape[1])
+    edges_enc = {
+        "conv_W": _glorot_conv(5, 5, 1, 64),
+        "conv_b": torch.zeros(64, requires_grad=True),
+        "W2": _glorot(64, K),
+    }
+    att = {}
+    prev = K
+    for l, width in enumerate(t_att):
+        att[f"W{l + 1}"] = _glorot(prev, width)
+        att[f"b{l + 1}"] = _glorot(1, width)[0].detach().requires_grad_()
+        prev = width
+    params = [
+        Gu, Gi, *color_enc.values(), *class_enc.values(),
+        *edges_enc.values(), *att.values(),
+    ]
+    opt = torch.optim.Adam(params, lr=args.lr, eps=1e-7)
+
+    def encode(items, training):
+        c = torch.relu(Fc[items] @ color_enc["W1"] + color_enc["b1"])
+        c = tF.dropout(c, 0.5, training) @ color_enc["W2"]
+        e = torch.relu(
+            _same_conv(Fimg[items], edges_enc["conv_W"], edges_enc["conv_b"])
+        )
+        e = _same_maxpool2(e).mean(dim=(2, 3))  # GAP
+        e = tF.dropout(e, 0.5, training) @ edges_enc["W2"]
+        k = torch.relu(Fcls[items] @ class_enc["W1"] + class_enc["b1"])
+        k = tF.dropout(k, 0.5, training) @ class_enc["W2"]
+        return torch.stack([c, e, k], dim=-2)  # [..., 3, K]
+
+    def attention(gu, e):
+        h = gu.unsqueeze(-2) * e
+        for l in range(len(t_att)):
+            h = h @ att[f"W{l + 1}"] + att[f"b{l + 1}"]
+            if l == 0:
+                h = torch.relu(h)
+        return torch.softmax(h, dim=-2)
+
+    def score(gu, gi, e):
+        alpha = attention(gu, e)
+        return (gu * (alpha * e).sum(-2) * gi).sum(-1)
+
+    def step(u, p, n):
+        opt.zero_grad()
+        gu = Gu[u]
+        e_pos, e_neg = encode(p, True), encode(n, True)
+        x_pos = score(gu, Gi[p], e_pos)
+        x_neg = score(gu, Gi[n], e_neg)
+        loss = _bpr_core(x_pos, x_neg)
+        loss = loss + reg * (
+            gu.pow(2).sum() + Gi[p].pow(2).sum() + Gi[n].pow(2).sum()
+            + e_pos.pow(2).sum() + e_neg.pow(2).sum()
+            + sum(w.pow(2).sum() for w in att.values())
+        )
+        loss.backward()
+        opt.step()
+
+    _run_torch_epochs(data, args, step, seed)
+    with torch.no_grad():
+        e_items = encode(torch.arange(I), False)  # [I, 3, K]
+        scores = torch.empty(U, I)
+        for s in range(0, U, 64):
+            gu = Gu[s : s + 64]
+            scores[s : s + 64] = score(
+                gu[:, None, :], Gi[None, :, :], e_items[None, :, :, :]
+            )
+    return scores.numpy()
+
+
+def train_reference_torch_comp_vbpr(data, args, feats, seed=0):
+    """CompVBPR.py:105-311, all four families active: three frozen-feature
+    projections (semantic/color/texture: w*(<Tu*, F@E*> + F.Bp*)) plus the
+    trainable AlexNet-style edge tower (cnn.py:10-66; dropout after fc6/fc7
+    in training) with its bias on the ENCODED vector (theta_e @ Bpe,
+    :199).  Reg :268-290 — batch factors + per-family user profiles, neg
+    bias /10, whole-matrix E*/Bp* and CNN non-bias weights."""
+    import torch.nn.functional as tF
+
+    torch.manual_seed(seed)
+    U, I, K, D = data.num_users, data.num_items, args.embed_k, args.embed_d
+    reg = args.reg
+    w_s, w_c, w_e, w_t = args.weight_components
+    Fs = torch.tensor(feats["cnn"])
+    Fc = torch.tensor(feats["color"])
+    Ft = torch.tensor(feats["texture"])
+    Fimg = torch.tensor(feats["edge_imgs"]).permute(0, 3, 1, 2).contiguous()
+
+    Bi = torch.zeros(I, requires_grad=True)
+    Gu, Gi = _glorot(U, K), _glorot(I, K)
+    fam = {}
+    for tag, F in (("s", Fs), ("c", Fc), ("t", Ft)):
+        dim = F.shape[1]
+        fam[tag] = {
+            "Bp": _glorot(dim, 1), "Tu": _glorot(U, D), "E": _glorot(dim, D),
+        }
+    Bpe, Tue = _glorot(D, 1), _glorot(U, D)
+    # AlexNet-style tower (cnn.py), Keras defaults: glorot kernels, zero
+    # biases; input 8x8 -> stride-4 conv -> 3 same-pools -> flat 256
+    cnn = {
+        "conv1_W": _glorot_conv(11, 11, 1, 64),
+        "conv1_b": torch.zeros(64, requires_grad=True),
+        "conv2_W": _glorot_conv(5, 5, 64, 256),
+        "conv2_b": torch.zeros(256, requires_grad=True),
+        "conv3_W": _glorot_conv(3, 3, 256, 256),
+        "conv3_b": torch.zeros(256, requires_grad=True),
+        "conv4_W": _glorot_conv(3, 3, 256, 256),
+        "conv4_b": torch.zeros(256, requires_grad=True),
+        "conv5_W": _glorot_conv(3, 3, 256, 256),
+        "conv5_b": torch.zeros(256, requires_grad=True),
+        "fc6_W": _glorot(256, 4096),
+        "fc6_b": torch.zeros(4096, requires_grad=True),
+        "fc7_W": _glorot(4096, 4096),
+        "fc7_b": torch.zeros(4096, requires_grad=True),
+        "fc8_W": _glorot(4096, D),
+        "fc8_b": torch.zeros(D, requires_grad=True),
+    }
+    params = [
+        Bi, Gu, Gi, Bpe, Tue,
+        *[w for f in fam.values() for w in f.values()], *cnn.values(),
+    ]
+    opt = torch.optim.Adam(params, lr=args.lr, eps=1e-7)
+
+    def tower(imgs, training):
+        x = torch.relu(_same_conv(imgs, cnn["conv1_W"], cnn["conv1_b"], 4))
+        x = _same_maxpool2(x)
+        x = torch.relu(_same_conv(x, cnn["conv2_W"], cnn["conv2_b"]))
+        x = _same_maxpool2(x)
+        x = torch.relu(_same_conv(x, cnn["conv3_W"], cnn["conv3_b"]))
+        x = torch.relu(_same_conv(x, cnn["conv4_W"], cnn["conv4_b"]))
+        x = torch.relu(_same_conv(x, cnn["conv5_W"], cnn["conv5_b"]))
+        x = _same_maxpool2(x).flatten(1)
+        x = tF.dropout(torch.relu(x @ cnn["fc6_W"] + cnn["fc6_b"]),
+                       0.5, training)
+        x = tF.dropout(torch.relu(x @ cnn["fc7_W"] + cnn["fc7_b"]),
+                       0.5, training)
+        return x @ cnn["fc8_W"] + cnn["fc8_b"]
+
+    def score(u, it, theta_e):
+        x = Bi[it] + (Gu[u] * Gi[it]).sum(1)
+        for tag, F, w in (("s", Fs, w_s), ("c", Fc, w_c), ("t", Ft, w_t)):
+            f = F[it]
+            x = x + w * (
+                (fam[tag]["Tu"][u] * (f @ fam[tag]["E"])).sum(1)
+                + (f @ fam[tag]["Bp"]).squeeze(1)
+            )
+        x = x + w_e * (
+            (Tue[u] * theta_e).sum(1) + (theta_e @ Bpe).squeeze(1)
+        )
+        return x
+
+    def step(u, p, n):
+        opt.zero_grad()
+        th_p, th_n = tower(Fimg[p], True), tower(Fimg[n], True)
+        loss = _bpr_core(score(u, p, th_p), score(u, n, th_n))
+        loss = loss + reg * (
+            Gu[u].pow(2).sum() + Gi[p].pow(2).sum() + Gi[n].pow(2).sum()
+            + sum(f["Tu"][u].pow(2).sum() for f in fam.values())
+            + Tue[u].pow(2).sum()
+        ) + reg * Bi[p].pow(2).sum() + reg * Bi[n].pow(2).sum() / 10 \
+            + reg * (
+                sum(f["E"].pow(2).sum() + f["Bp"].pow(2).sum()
+                    for f in fam.values())
+                + Bpe.pow(2).sum()
+                + sum(v.pow(2).sum() for k, v in cnn.items()
+                      if not k.endswith("_b"))
+            )
+        loss.backward()
+        opt.step()
+
+    _run_torch_epochs(data, args, step, seed)
+    with torch.no_grad():
+        Fe = torch.cat([
+            tower(Fimg[s : s + 64], False) for s in range(0, I, 64)
+        ])
+        scores = Bi[None, :] + Gu @ Gi.T
+        for tag, F, w in (("s", Fs, w_s), ("c", Fc, w_c), ("t", Ft, w_t)):
+            scores = scores + w * (
+                fam[tag]["Tu"] @ (F @ fam[tag]["E"]).T
+                + (F @ fam[tag]["Bp"]).squeeze(1)[None, :]
+            )
+        scores = scores + w_e * (Tue @ Fe.T + (Fe @ Bpe).squeeze(1)[None, :])
+    return scores.numpy()
+
+
 def build_ours(args, data, feats):
     if args.rec == "bprmf":
         from fashionvisualexpl_tpu.models.bprmf import BPRMF
@@ -342,13 +595,35 @@ def build_ours(args, data, feats):
             layers_component=tuple(args.layers_component),
             layers_item=tuple(args.layers_item),
         )
+    if args.rec == "attentive_fashion":
+        from fashionvisualexpl_tpu.models.attentive_fashion import (
+            AttentiveFashion,
+        )
+
+        return AttentiveFashion(
+            data.num_users, data.num_items,
+            feats["color"], feats["edge_imgs"], feats["class"],
+            embed_k=args.embed_k,
+            attention_layers=tuple(args.attention_layers),
+        )
+    if args.rec == "comp_vbpr":
+        from fashionvisualexpl_tpu.models.comp_vbpr import CompVBPR
+
+        return CompVBPR(
+            data.num_users, data.num_items,
+            semantic_features=feats["cnn"], color_features=feats["color"],
+            edge_images=feats["edge_imgs"], texture_features=feats["texture"],
+            embed_k=args.embed_k, embed_d=args.embed_d,
+            weight_components=tuple(args.weight_components),
+        )
     raise SystemExit(f"unknown --rec {args.rec}")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rec", default="bprmf",
-                    choices=["bprmf", "vbpr", "grad_fashion", "acf"])
+                    choices=["bprmf", "vbpr", "grad_fashion", "acf",
+                             "attentive_fashion", "comp_vbpr"])
     ap.add_argument("--users", type=int, default=300)
     ap.add_argument("--items", type=int, default=400)
     ap.add_argument("--per_user", type=int, default=15)
@@ -359,6 +634,9 @@ def main():
     ap.add_argument("--embed_edges", type=int, default=8)
     ap.add_argument("--layers_component", nargs="+", type=int, default=[16, 1])
     ap.add_argument("--layers_item", nargs="+", type=int, default=[16, 1])
+    ap.add_argument("--attention_layers", nargs="+", type=int, default=[16, 1])
+    ap.add_argument("--weight_components", nargs="+", type=float,
+                    default=[0.25, 0.25, 0.25, 0.25])
     ap.add_argument("--lr", type=float, default=0.005)
     ap.add_argument("--reg", type=float, default=0.001)
     ap.add_argument("--batch", type=int, default=128)
@@ -422,6 +700,14 @@ def main():
         ref = metrics_of(train_reference_torch_vbpr(data, args, feats, seed=args.seed))
     elif args.rec == "grad_fashion":
         ref = metrics_of(train_reference_torch_grad_fashion(data, args, feats, seed=args.seed))
+    elif args.rec == "attentive_fashion":
+        ref = metrics_of(
+            train_reference_torch_attentive_fashion(data, args, feats, seed=args.seed)
+        )
+    elif args.rec == "comp_vbpr":
+        ref = metrics_of(
+            train_reference_torch_comp_vbpr(data, args, feats, seed=args.seed)
+        )
     else:
         sem = args.acf_semantics
         if sem in ("endtoend", "both"):

@@ -77,6 +77,11 @@ def main():
                     default="float32",
                     help="encoder-tower compute dtype "
                          "(attentive_fashion / comp_vbpr)")
+    ap.add_argument("--edge_tower", choices=["auto", "fused", "xla"],
+                    default="auto",
+                    help="attentive_fashion conv->pool->GAP tower impl "
+                         "(ops/edge_tower.py fused Pallas kernel vs inline "
+                         "XLA)")
     ap.add_argument("--fused_frozen", action="store_true",
                     help="fold frozen per-item feature columns into the "
                          "packed item rows (vbpr/grad_fashion/acf, generic "
@@ -137,6 +142,7 @@ def main():
             class_features=synthetic_features(args.items, 100, seed=3),
             embed_k=args.embed_k,
             compute_dtype=args.compute_dtype,
+            edge_tower=args.edge_tower,
         )
     elif args.model == "acf":
         from fashionvisualexpl_tpu.models.acf import ACF

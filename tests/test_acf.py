@@ -141,3 +141,88 @@ def test_exact_eval_uses_all_positives_beyond_cap():
     s = np.asarray(exact.predict_all(params, frozen_e))
     su = np.asarray(uncapped.predict_all(params, frozen_u))
     np.testing.assert_allclose(s, su, rtol=2e-4, atol=2e-5)
+
+
+def test_exact_train_gradients_match_padded_when_under_cap():
+    """With no user above the cap, exact_train (chunked scan with remat)
+    and the padded one-shot path attend over the same set — loss and
+    gradients must agree."""
+    U, I, S, C = 12, 16, 3, 5
+    data = synthetic_interactions(U, I, interactions_per_user=5, seed=7)
+    rng = np.random.default_rng(7)
+    spat = rng.normal(size=(I, S, C)).astype(np.float32)
+
+    def build(exact):
+        return ACF(U, I, spat, data, embed_k=6,
+                   layers_component=(4, 1), layers_item=(4, 1),
+                   max_user_pos=8, seed=7, exact_train=exact, pos_chunk=3)
+
+    m_pad, m_ex = build(False), build(True)
+    params, fr_pad = m_pad.init(jax.random.PRNGKey(3))
+    _, fr_ex = m_ex.init(jax.random.PRNGKey(3))
+    users = jnp.asarray([0, 4, 9])
+    pos = jnp.asarray([1, 5, 10])
+    neg = jnp.asarray([2, 6, 11])
+
+    l_pad, g_pad = jax.value_and_grad(
+        lambda p: m_pad.loss(p, fr_pad, users, pos, neg, 0.001)
+    )(params)
+    l_ex, g_ex = jax.value_and_grad(
+        lambda p: m_ex.loss(p, fr_ex, users, pos, neg, 0.001)
+    )(params)
+    np.testing.assert_allclose(float(l_ex), float(l_pad), rtol=1e-5)
+    flat_pad = jax.tree_util.tree_leaves(g_pad)
+    flat_ex = jax.tree_util.tree_leaves(g_ex)
+    for a, b in zip(flat_pad, flat_ex):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6
+        )
+
+
+def test_exact_train_uses_all_positives_beyond_cap():
+    """A user above the cap trains on the FULL positive set: the exact
+    profile differs from the subsampled one and matches an uncapped model."""
+    U, I, S, C = 8, 30, 3, 5
+    data = synthetic_interactions(U, I, interactions_per_user=12, seed=9)
+    rng = np.random.default_rng(9)
+    spat = rng.normal(size=(I, S, C)).astype(np.float32)
+    capped = ACF(U, I, spat, data, embed_k=6, layers_component=(4, 1),
+                 layers_item=(4, 1), max_user_pos=4, seed=9)
+    exact = ACF(U, I, spat, data, embed_k=6, layers_component=(4, 1),
+                layers_item=(4, 1), max_user_pos=4, seed=9,
+                exact_train=True, pos_chunk=5)
+    uncapped = ACF(U, I, spat, data, embed_k=6, layers_component=(4, 1),
+                   layers_item=(4, 1), max_user_pos=64, seed=9)
+    params, fr_c = capped.init(jax.random.PRNGKey(4))
+    _, fr_e = exact.init(jax.random.PRNGKey(4))
+    _, fr_u = uncapped.init(jax.random.PRNGKey(4))
+    users = jnp.arange(U)
+    p_c = np.asarray(capped.user_profile(params, fr_c, users))
+    p_e = np.asarray(exact.user_profile(params, fr_e, users))
+    p_u = np.asarray(uncapped.user_profile(params, fr_u, users))
+    assert not np.allclose(p_e, p_c, rtol=1e-3)
+    np.testing.assert_allclose(p_e, p_u, rtol=2e-5, atol=2e-6)
+
+
+def test_exact_train_rejects_packed_path():
+    import pytest
+
+    model, data = _make()
+    model.exact_train = True
+    with pytest.raises(ValueError, match="generic"):
+        model.packed_spec()
+
+
+def test_exact_train_end_to_end():
+    U, I = 20, 24
+    data = synthetic_interactions(U, I, interactions_per_user=8, seed=11)
+    rng = np.random.default_rng(11)
+    spat = rng.normal(size=(I, 3, 5)).astype(np.float32)
+    model = ACF(U, I, spat, data, embed_k=8, layers_component=(4, 1),
+                layers_item=(4, 1), max_user_pos=4, seed=11,
+                exact_train=True, exact_eval=True, pos_chunk=4)
+    cfg = TrainConfig(batch_size=32, epochs=6, lr=0.01, reg=0.0001, top_k=5,
+                      eval_every=6)
+    ev = Evaluator(model, data, k=5, user_block=16)
+    state, frozen, results, extra = fit(model, data, cfg, evaluator=ev)
+    assert np.isfinite(results[6]["auc_t"])

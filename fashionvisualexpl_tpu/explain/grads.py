@@ -137,14 +137,34 @@ def explanation_table(
     frozen,
     data,
     jit: bool = True,
+    batched: bool = True,
 ) -> pd.DataFrame:
     """DataFrame [USER_ID, ITEM_ID, COLOR, EDGES] of grad-x-input attributions
     for every (user, positive-item) pair — the content of
-    store_recommendation_grads (Evaluator.py:261-275)."""
+    store_recommendation_grads (Evaluator.py:261-275).
+
+    Uses the bucketed batched engine when the model provides
+    `feature_attributions_block` (a few compiled programs total);
+    `batched=False` forces the per-user loop (the engines' equivalence is
+    pinned in tests)."""
+    rows = []
+    if batched and hasattr(model, "feature_attributions_block"):
+        att = batched_attributions(
+            model.feature_attributions_block, params, frozen, data
+        )
+        for u in sorted(att):
+            pos_items = (
+                data.training_list[u] + data.validation_list[u]
+                + data.test_list[u]
+            )
+            for item, (c, e) in zip(pos_items, att[u]):
+                rows.append((u, item, float(c), float(e)))
+        return pd.DataFrame(
+            rows, columns=["USER_ID", "ITEM_ID", "COLOR", "EDGES"]
+        )
     fn = model.feature_attributions
     if jit:
         fn = jax.jit(fn, static_argnums=())
-    rows = []
     for u in range(data.num_users):
         pos_items = (
             data.training_list[u] + data.validation_list[u] + data.test_list[u]

@@ -76,7 +76,7 @@ class AttentiveFashion(RecommenderModel):
         host_features: bool = False,
         batch_eval: Optional[int] = None,
         edge_tower: str = "auto",
-        tower_batch_tile: int = 32,
+        tower_batch_tile: Optional[int] = None,
     ):
         super().__init__(num_users, num_items)
         for f, nm in (
@@ -125,10 +125,29 @@ class AttentiveFashion(RecommenderModel):
         if edge_tower not in ("auto", "fused", "xla"):
             raise ValueError(f"edge_tower {edge_tower!r} not in auto/fused/xla")
         h_img, w_img = self._edges.shape[1:3]
-        fused_ok = h_img % 2 == 0 and w_img % 2 == 0
+        from fashionvisualexpl_tpu.ops.edge_tower import auto_batch_tile
+
+        cd_bytes = 2 if self.compute_dtype == jnp.bfloat16 else 4
+        # VMEM-aware tile: 0 means the geometry's score planes exceed
+        # scoped VMEM even at tile 1 (e.g. 224x224 at 64 filters) — auto
+        # then falls back to xla, explicit "fused" raises
+        fit_tile = (
+            auto_batch_tile(h_img, w_img, conv_filters, cd_bytes)
+            if h_img % 2 == 0 and w_img % 2 == 0
+            else 0
+        )
+        self.tower_batch_tile = (
+            int(tower_batch_tile) if tower_batch_tile is not None
+            else max(fit_tile, 1)
+        )
+        fused_ok = fit_tile > 0 if tower_batch_tile is None else (
+            h_img % 2 == 0 and w_img % 2 == 0
+        )
         if edge_tower == "fused" and not fused_ok:
             raise ValueError(
-                f"edge_tower='fused' needs even H, W (got {h_img}x{w_img})"
+                f"edge_tower='fused' cannot run at {h_img}x{w_img} with "
+                f"{conv_filters} filters: even H/W required and the kernel "
+                "must fit scoped VMEM (ops/edge_tower.py auto_batch_tile)"
             )
         self.edge_tower = edge_tower
         self._fused_tower = edge_tower == "fused" or (
@@ -136,7 +155,6 @@ class AttentiveFashion(RecommenderModel):
             and fused_ok
             and jax.default_backend() == "tpu"
         )
-        self.tower_batch_tile = int(tower_batch_tile)
 
     def row_sharded_params(self):
         return ("Gu", "Gi")

@@ -181,6 +181,38 @@ def _bwd_kernel(
         )
 
 
+def kernel_vmem_bytes(batch_tile: int, h: int, w: int, c: int,
+                      cd_bytes: int) -> int:
+    """Estimated peak scoped-VMEM bytes of the kernels at this geometry.
+
+    Calibrated against the compiler's own accounting (fwd at TB=32,
+    H=W=32, C=64, bf16 reported 16.78MB; this model gives 16.4MB): the
+    dominant live set is the f32 even/odd score planes + activation +
+    pooled rows, each [TB*H, L] with L = C*W/2.  The backward roughly
+    doubles the plane count and adds the f32 dM accumulators."""
+    L = c * (w // 2)
+    planes_fwd = 3.5 * batch_tile * h * L * 4
+    planes_bwd = 7.5 * batch_tile * h * L * 4
+    shifted_x = 7 * batch_tile * h * w * cd_bytes
+    weights = 2 * K * w * L * cd_bytes + L * c * 4
+    dweights = 2 * K * w * L * 4
+    fwd = planes_fwd + shifted_x + weights
+    bwd = planes_bwd + shifted_x + weights + dweights
+    return int(max(fwd, bwd))
+
+
+def auto_batch_tile(h: int, w: int, c: int, cd_bytes: int = 4,
+                    budget: int = 14 * 2 ** 20):
+    """Largest power-of-two batch tile whose kernels fit the ~16MB scoped
+    VMEM (with slack), or 0 when even TB=1 does not fit (callers fall back
+    to the XLA tower — e.g. 224x224xC=64, whose score planes alone exceed
+    VMEM; strip-mining the image rows is the future fix)."""
+    for tb in (64, 32, 16, 8, 4, 2, 1):
+        if kernel_vmem_bytes(tb, h, w, c, cd_bytes) <= budget:
+            return tb
+    return 0
+
+
 def _pad_batch(arr, tile):
     b = arr.shape[0]
     pad = (-b) % tile

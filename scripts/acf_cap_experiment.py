@@ -9,10 +9,16 @@ three configurations sharing seeds/data:
 
   A. cap=CAP train, cap=CAP eval      (round-1 behavior)
   B. cap=CAP train, exact eval        (round-2 default-able behavior)
-  C. uncapped train, exact eval       (reference semantics — ground truth)
+  C. uncapped train, exact eval       (reference semantics via a padded
+                                       table at the true max width)
+  D. exact_train (chunked scan), exact eval  (round-3: same reference
+                                       semantics at bounded memory —
+                                       accuracy must match C, and its
+                                       wall-clock cost is reported)
 
-and reports converged metric deltas A-C and B-C.  Run on CPU by default
-(PARITY_CPU=0 to use the device platform).
+and reports converged metric deltas A-C, B-C, D-C plus per-config epoch
+wall time.  Run on CPU by default (PARITY_CPU=0 to use the device
+platform).
 
 Run:  python scripts/acf_cap_experiment.py [--cap 16] [--epochs 30]
 Emits one JSON line.
@@ -97,25 +103,36 @@ def main():
         return {"hr": float(m.hr), "rec": float(m.rec),
                 "auc": float(m.auc), "ndcg": float(m.ndcg)}
 
-    def run(max_user_pos, exact_eval):
+    def run(max_user_pos, exact_eval, exact_train=False):
+        import time
+
         model = ACF(
             data.num_users, data.num_items, spat, data,
             embed_k=args.embed_k, layers_component=(16, 1),
             layers_item=(16, 1), max_user_pos=max_user_pos,
-            exact_eval=exact_eval, pos_chunk=32, seed=0,
+            exact_eval=exact_eval, exact_train=exact_train,
+            pos_chunk=32, seed=0,
         )
         cfg = TrainConfig(batch_size=args.batch, epochs=args.epochs,
                           lr=args.lr, reg=args.reg, top_k=args.top_k,
                           eval_every=10 ** 9)
         buf = io.StringIO()
+        t0 = time.time()
         with contextlib.redirect_stdout(buf):
             state, frozen, _, _ = fit(model, data, cfg)
-        return metrics_of(np.asarray(model.predict_all(state.params, frozen)))
+        elapsed = time.time() - t0
+        m = metrics_of(np.asarray(model.predict_all(state.params, frozen)))
+        m["train_s_per_epoch"] = elapsed / args.epochs
+        return m
 
     full_cap = int(pos_counts.max())
     a = run(args.cap, exact_eval=False)
     b = run(args.cap, exact_eval=True)
     c = run(full_cap, exact_eval=True)
+    d = run(args.cap, exact_eval=True, exact_train=True)
+
+    def deltas(x):
+        return {k: x[k] - c[k] for k in x if k != "train_s_per_epoch"}
 
     print(json.dumps({
         "pos_count_stats": {
@@ -126,8 +143,10 @@ def main():
         "A_cap_train_cap_eval": a,
         "B_cap_train_exact_eval": b,
         "C_uncapped_exact_eval": c,
-        "delta_A_vs_C": {k: a[k] - c[k] for k in a},
-        "delta_B_vs_C": {k: b[k] - c[k] for k in b},
+        "D_exact_train_exact_eval": d,
+        "delta_A_vs_C": deltas(a),
+        "delta_B_vs_C": deltas(b),
+        "delta_D_vs_C": deltas(d),
         "config": vars(args),
     }))
 

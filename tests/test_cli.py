@@ -214,3 +214,14 @@ def test_cli_batch_eval_honored(dataset_dir):
     recs = glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
     assert recs
     assert len(open(recs[0]).read().strip().split("\n")) == 20 * 5
+
+
+def test_cli_acf_exact_train(dataset_dir):
+    """--acf_exact_train: reference-exact attend-over-all-positives
+    training (cap 3 forces the chunked path to actually differ)."""
+    rdir = _run(dataset_dir, "acf",
+                extra=("--acf_exact_train", "--acf_exact_eval",
+                       "--max_user_pos", "3"))
+    recs = glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
+    assert recs
+    assert len(open(recs[0]).read().strip().split("\n")) == 20 * 5

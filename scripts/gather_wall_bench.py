@@ -37,21 +37,65 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _timeit(fn, *args, warmup=3, iters=20):
-    """Median wall time of a jitted call; fetches one value to force
-    completion (block_until_ready is unreliable on this platform)."""
-    import jax
+CHAIN = 100  # gathers chained on device per timed program
 
+
+def _chain_gather(table, ids):
+    """One jitted program = CHAIN dependent gathers (ids perturbed per
+    iteration so nothing hoists), ONE value fetch at the end.  A per-call
+    fetch costs one ~29ms tunnel RTT on this platform — 10x the op under
+    measurement — so op cost must be amortized on device (CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    N = table.shape[0]
+
+    def prog(t, i0):
+        def body(carry, i):
+            rows = jnp.take(t, (i0 + i) % N, axis=0)
+            return carry + jnp.sum(rows, axis=0), None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((t.shape[1],), t.dtype),
+            jnp.arange(CHAIN, dtype=jnp.int32),
+        )
+        return out[0]
+
+    return jax.jit(prog), ids
+
+
+def _chain_scatter(dst, ids, vals):
+    import jax
+    import jax.numpy as jnp
+
+    N = dst.shape[0]
+
+    def prog(d, i0, v):
+        def body(carry, i):
+            return carry.at[(i0 + i) % N].add(v), None
+
+        out, _ = jax.lax.scan(
+            body, d, jnp.arange(CHAIN, dtype=jnp.int32)
+        )
+        return out[0, 0]
+
+    return jax.jit(prog)
+
+
+def _timeit(fn, *args, warmup=1, iters=3):
+    """Seconds per CHAINED ITERATION: runs the chained program (CHAIN ops
+    inside one jit), fetches once, divides by CHAIN.  Min over `iters`
+    repeats (platform variance is additive noise)."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = np.asarray(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
         _ = np.asarray(out).ravel()[0]  # one fetch = completion barrier
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(min(times)) / CHAIN
 
 
 def main():
@@ -60,7 +104,14 @@ def main():
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--n_gather", type=int, default=24576)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default="",
+                    help="comma list of hypotheses to run (e.g. 'H1,H4'); "
+                         "empty = all")
     args = ap.parse_args()
+    only = set(filter(None, args.only.split(",")))
+
+    def want(h):
+        return not only or h in only
 
     import jax
     import jax.numpy as jnp
@@ -69,46 +120,86 @@ def main():
     rng = np.random.default_rng(0)
     results = {}
 
+    def rec(k, v):
+        results[k] = v
+        print(f"{k} = {v}", file=sys.stderr, flush=True)
+
     table = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
     ids_rand = jnp.asarray(rng.integers(0, N, size=G).astype(np.int32))
     ids_sorted = jnp.sort(ids_rand)
 
-    take = jax.jit(lambda t, i: jnp.sum(jnp.take(t, i, axis=0), axis=0))
-    t_rand = _timeit(take, table, ids_rand, iters=args.iters)
-    t_sort = _timeit(take, table, ids_sorted, iters=args.iters)
-    results["H1_random_ms"] = t_rand * 1e3
-    results["H1_sorted_ms"] = t_sort * 1e3
-    results["H1_sorted_speedup"] = t_rand / t_sort
+    take, _ = _chain_gather(table, ids_rand)
+    t_rand = _timeit(take, table, ids_rand)
+    rec("H1_random_ms", t_rand * 1e3)
+    if want("H1"):
+        # NOTE the +i perturbation leaves sorted ids sorted-with-one-wrap —
+        # still locality-preserving
+        t_sort = _timeit(take, table, ids_sorted)
+        rec("H1_sorted_ms", t_sort * 1e3)
+        rec("H1_sorted_speedup", t_rand / t_sort)
 
     # H1b: end-to-end sort + gather + unsort (what a step would actually pay)
-    def sorted_gather(t, i):
-        order = jnp.argsort(i)
-        rows = jnp.take(t, i[order], axis=0)
-        inv = jnp.argsort(order)
-        return jnp.sum(jnp.take(rows, inv, axis=0), axis=0)
+    if want("H1"):
+        def prog_sg(t, i0):
+            def body(carry, i):
+                ii = (i0 + i) % N
+                order = jnp.argsort(ii)
+                rows = jnp.take(t, ii[order], axis=0)
+                inv = jnp.argsort(order)
+                return carry + jnp.sum(jnp.take(rows, inv, axis=0), axis=0), None
 
-    t_sg = _timeit(jax.jit(sorted_gather), table, ids_rand, iters=args.iters)
-    results["H1b_sort_gather_unsort_ms"] = t_sg * 1e3
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((t.shape[1],), t.dtype),
+                jnp.arange(CHAIN, dtype=jnp.int32),
+            )
+            return out[0]
+
+        t_sg = _timeit(jax.jit(prog_sg), table, ids_rand)
+        rec("H1b_sort_gather_unsort_ms", t_sg * 1e3)
 
     # H2: R-row superrow blocks, same TOTAL useful rows (G), R-fold fewer
     # descriptors, R-fold more bytes
-    for R in (2, 4, 8, 16):
+    for R in (2, 4, 8, 16) if want("H2") else ():
         blocks = table.reshape(N // R, R * D)
         bids = jnp.asarray(
             rng.integers(0, N // R, size=G // R).astype(np.int32)
         )
-        t_blk = _timeit(take, blocks, bids, iters=args.iters)
-        results[f"H2_block{R}_ms"] = t_blk * 1e3
-        results[f"H2_block{R}_per_useful_row_vs_base"] = t_blk / t_rand
+        take_b, _ = _chain_gather(blocks, bids)
+        t_blk = _timeit(take_b, blocks, bids)
+        rec(f"H2_block{R}_ms", t_blk * 1e3)
+        rec(f"H2_block{R}_per_useful_row_vs_base", t_blk / t_rand)
 
     # H3: payload width sweep at constant descriptor count
-    for W in (32, 128, 512):
+    for W in (32, 128, 512) if want("H3") else ():
         tw = jnp.asarray(rng.standard_normal((N, W)).astype(np.float32))
-        t_w = _timeit(take, tw, ids_rand, iters=args.iters)
-        results[f"H3_width{W}_ms"] = t_w * 1e3
+        take_w, _ = _chain_gather(tw, ids_rand)
+        t_w = _timeit(take_w, tw, ids_rand)
+        rec(f"H3_width{W}_ms", t_w * 1e3)
 
-    results["config"] = vars(args)
-    results["ns_per_row_random"] = t_rand / G * 1e9
+    # H4 (source size): gather the same G rows from source tables of
+    # shrinking row count.  If per-row cost is flat in source size, the
+    # wall is descriptor issue (a batch-view-from-unique-rows restructure
+    # saves nothing); if small sources are much cheaper (VMEM-resident
+    # lowering), gathering unique rows once and building batch views by
+    # small-array reindex removes half the step's HBM row traffic.
+    for SN in (1_000_000, 65_536, 24_576, 8_192) if want("H4") else ():
+        ts = jnp.asarray(rng.standard_normal((SN, D)).astype(np.float32))
+        ids_s = jnp.asarray(rng.integers(0, SN, size=G).astype(np.int32))
+        take_s, _ = _chain_gather(ts, ids_s)
+        t_s = _timeit(take_s, ts, ids_s)
+        rec(f"H4_src{SN}_ms", t_s * 1e3)
+
+    # H4b (scatter-add source size): the adjoint of the reindex — G
+    # duplicate-index scatter-adds into [SN, D]
+    vals = jnp.asarray(rng.standard_normal((G, D)).astype(np.float32))
+    for SN in (1_000_000, 24_576) if want("H4") else ():
+        dst = jnp.zeros((SN, D), jnp.float32)
+        ids_s = jnp.asarray(rng.integers(0, SN, size=G).astype(np.int32))
+        t_sc = _timeit(_chain_scatter(dst, ids_s, vals), dst, ids_s, vals)
+        rec(f"H4b_scatteradd_src{SN}_ms", t_sc * 1e3)
+
+    rec("config", vars(args))
+    rec("ns_per_row_random", t_rand / G * 1e9)
     print(json.dumps(results, indent=2))
 
 

@@ -65,28 +65,70 @@ def _glorot(*shape):
     return (torch.rand(*shape) * 2 * limit - limit).requires_grad_()
 
 
-def make_features(data, seed=0):
+def make_features(data, seed=0, signal=0.0):
     """Synthetic frozen feature families shared verbatim by both stacks
-    (maxabs-normalized like visual_loader_mixin.py:22-31)."""
+    (maxabs-normalized like visual_loader_mixin.py:22-31).
+
+    ``signal`` blends an item co-occurrence embedding (SVD of the centered
+    train matrix) into the dense families / edge images / class labels.
+    At 0 the features are pure noise — a model whose ONLY item pathway is
+    multiplicatively gated by the features (attentive_fashion) cannot
+    generalize there and drifts BELOW-random AUC as uniform negative
+    sampling pushes each user's held-out positive down (measured: AUC
+    0.42 @ 10 epochs -> 0.14 @ 40 — in BOTH stacks).  Real catalogs carry
+    feature signal; signal>0 restores a learnable regime so converged
+    parity is measured where the model actually learns."""
     rng = np.random.default_rng(seed + 100)
     I = data.num_items
 
     def maxabs(x):
         return (x / max(np.abs(x).max(), 1e-12)).astype(np.float32)
 
+    emb = None
+    if signal > 0:
+        M = np.zeros((data.num_users, I), np.float64)
+        for u, row in enumerate(data.training_list):
+            M[u, row] = 1.0
+        _, sv, vt = np.linalg.svd(M - M.mean(axis=0), full_matrices=False)
+        rank = 16
+        emb = vt[:rank].T * sv[:rank]  # [I, rank]
+        emb = (emb / max(np.abs(emb).max(), 1e-12)).astype(np.float32)
+
+    def dense(x):
+        if emb is None:
+            return maxabs(x)
+        k = min(x.shape[1], emb.shape[1])
+        x = (1.0 - signal) * x / max(np.abs(x).max(), 1e-12)
+        x[:, :k] += signal * emb[:, :k]
+        return maxabs(x)
+
     onehot = np.zeros((I, 10), np.float32)
-    onehot[np.arange(I), rng.integers(0, 10, size=I)] = 1.0
+    if emb is None:
+        classes = rng.integers(0, 10, size=I)
+    else:
+        # class label = co-occurrence leading-direction decile
+        classes = np.searchsorted(
+            np.quantile(emb[:, 0], np.linspace(0, 1, 11)[1:-1]), emb[:, 0]
+        )
+    onehot[np.arange(I), classes] = 1.0
+
+    imgs = rng.random((I, 8, 8, 1)).astype(np.float32)
+    if emb is not None:
+        proj = rng.normal(size=(emb.shape[1], 64)).astype(np.float32)
+        pat = 1.0 / (1.0 + np.exp(-4.0 * (emb @ proj)))  # [I, 64] in (0,1)
+        imgs = (1.0 - signal) * imgs + signal * pat.reshape(I, 8, 8, 1)
+
     return {
-        "cnn": maxabs(rng.normal(size=(I, 24))),
-        "color": maxabs(rng.random((I, 16))),
-        "edges": maxabs(rng.random((I, 12))),
+        "cnn": dense(rng.normal(size=(I, 24))),
+        "color": dense(rng.random((I, 16))),
+        "edges": dense(rng.random((I, 12))),
         "spatial": rng.normal(size=(I, 4, 8)).astype(np.float32) * 0.1,
         # encoder-model inputs: small edge images keep the torch-CPU conv
         # towers tractable at parity scale; class one-hots like the
         # reference's VGG-classification encodings (extract_features.py:42-47)
-        "edge_imgs": rng.random((I, 8, 8, 1)).astype(np.float32),
+        "edge_imgs": imgs,
         "class": onehot,
-        "texture": maxabs(rng.normal(size=(I, 20))),
+        "texture": dense(rng.normal(size=(I, 20))),
     }
 
 
@@ -650,6 +692,12 @@ def main():
     ap.add_argument("--train_path", choices=["generic", "packed"],
                     default="generic",
                     help="also validates the packed/LazyAdam path's accuracy")
+    ap.add_argument("--feature_signal", type=float, default=0.0,
+                    help="blend of train-co-occurrence SVD structure into "
+                         "the synthetic features (0 = pure noise, the "
+                         "round-2 setting).  Use ~0.5 for the encoder "
+                         "models whose item pathway is feature-gated — "
+                         "see make_features docstring")
     args = ap.parse_args()
 
     import contextlib
@@ -669,7 +717,7 @@ def main():
     data = synthetic_interactions(
         args.users, args.items, interactions_per_user=args.per_user, seed=0
     )
-    feats = make_features(data)
+    feats = make_features(data, signal=args.feature_signal)
 
     def metrics_of(scores):
         train_mask = jnp.asarray(multi_hot(data.training_list, data.num_items))

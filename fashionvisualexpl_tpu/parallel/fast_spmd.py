@@ -262,6 +262,33 @@ def _sharded_packed_lazy_apply(pmv, tau, uids, g, lr, t, k_groups,
     return pmv, tau
 
 
+def _sharded_packed_lazy_apply_taucol(pmv, uids, g, lr, t, k_groups,
+                                      axis_name=MODEL_AXIS):
+    """Like _sharded_packed_lazy_apply, for rows carrying their LazyAdam
+    timestamp as the FINAL fp32 column (the generic engine's layout,
+    train/packed_generic.py): the tau read rides the owned-row gather and
+    the tau refresh rides the row scatter — no 1D tau arrays or ops."""
+    from fashionvisualexpl_tpu.train.packed import _lazy_rows
+
+    shard = jax.lax.axis_index(axis_name)
+    rows = pmv.shape[0]
+    local = uids - shard * rows
+    ok = jnp.logical_and(local >= 0, local < rows)
+    safe_read = jnp.where(ok, local, 0)
+    safe_write = jnp.where(ok, local, rows)  # out-of-range => dropped
+    old = jnp.take(pmv, safe_read, axis=0)
+    dt = (t - old[:, -1])[:, None]
+    parts = []
+    for pmv_off, g_off, width in k_groups:
+        parts.append(_lazy_rows(
+            old[:, pmv_off:pmv_off + 3 * width],
+            g[:, g_off:g_off + width], dt, t, lr,
+        ))
+    parts.append(jnp.full((old.shape[0], 1), t, old.dtype))  # tau col
+    new = jnp.concatenate(parts, axis=1)
+    return pmv.at[safe_write].set(new, unique_indices=True)
+
+
 def make_packed_spmd_epoch_fn(
     model,  # BPRMF
     mesh: Mesh,
@@ -526,12 +553,12 @@ def make_generic_packed_spmd_epoch_fn(
         t = (state.step + 1).astype(jnp.float32)
         B = u_all.shape[0]
         uids, cg = compact_row_grads(u_all, gu_all, B)
-        user_pmv, tau_u = _sharded_packed_lazy_apply(
-            state.user_pmv, state.tau_u, uids, cg, lr, t, [(0, 0, Wu)]
+        user_pmv = _sharded_packed_lazy_apply_taucol(
+            state.user_pmv, uids, cg, lr, t, [(0, 0, Wu)]
         )
         iids, cgi = compact_row_grads(ii_all, gi_all, (2 + E) * B)
-        item_pmv, tau_i = _sharded_packed_lazy_apply(
-            state.item_pmv, state.tau_i, iids, cgi, lr, t, item_groups
+        item_pmv = _sharded_packed_lazy_apply_taucol(
+            state.item_pmv, iids, cgi, lr, t, item_groups
         )
 
         dense = {}
@@ -554,9 +581,7 @@ def make_generic_packed_spmd_epoch_fn(
             )
 
         return (
-            GenericPackedState(
-                state.step + 1, user_pmv, item_pmv, tau_u, tau_i, dense
-            ),
+            GenericPackedState(state.step + 1, user_pmv, item_pmv, dense),
             loss,
         )
 
@@ -572,8 +597,6 @@ def make_generic_packed_spmd_epoch_fn(
             step=P(),
             user_pmv=P(MODEL_AXIS, None),
             item_pmv=P(MODEL_AXIS, None),
-            tau_u=P(MODEL_AXIS),
-            tau_i=P(MODEL_AXIS),
             dense=dense_specs,
         )
         fspecs = param_spec_tree(model, frozen)
@@ -632,8 +655,6 @@ def shard_generic_packed_state(state, mesh: Mesh):
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
         user_pmv=row_sharded(state.user_pmv),
         item_pmv=row_sharded(state.item_pmv),
-        tau_u=row_sharded(state.tau_u),
-        tau_i=row_sharded(state.tau_i),
         dense=jax.tree_util.tree_map(replicated, state.dense),
     )
 

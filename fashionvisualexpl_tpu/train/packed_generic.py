@@ -52,11 +52,18 @@ __all__ = [
 
 
 class GenericPackedState(NamedTuple):
+    """Packed rows carry their OWN LazyAdam last-touch timestamp as the
+    final fp32 column (exact for step counts < 2^24): row =
+    [p|m|v (+scalar triples) (+frozen cols when fused) | tau].  Folding tau
+    into the row removes FOUR row-granular ops per step (two 1D tau gathers
+    + two 1D tau scatters) — row width below ~2KB is free while every
+    row-granular op pays a ~19-84ns/row access floor (SPEED.md round-3
+    gather-wall measurements); the tau read now rides the unique-row gather
+    and the tau write rides the row scatter."""
+
     step: jnp.ndarray  # scalar int32
-    user_pmv: jax.Array  # [U, 3*Wu]
-    item_pmv: jax.Array  # [I, 3*Wi + 3*nS (+ frozen cols when fused)]
-    tau_u: jax.Array  # [U] int32 last-touch step
-    tau_i: jax.Array  # [I] int32
+    user_pmv: jax.Array  # [U, 3*Wu + 1]
+    item_pmv: jax.Array  # [I, 3*Wi + 3*nS (+ frozen cols when fused) + 1]
     dense: Dict[str, tuple]  # name -> (p, m, v) pytrees
 
 
@@ -82,7 +89,8 @@ def pack_generic_state(model, params, frozen=None) -> GenericPackedState:
     dtype = params[spec.user_tables[0][0]].dtype
 
     user = jnp.concatenate(
-        [params[n] for n, _, _ in u_offs] + [jnp.zeros((U, 2 * Wu), dtype)],
+        [params[n] for n, _, _ in u_offs]
+        + [jnp.zeros((U, 2 * Wu + 1), dtype)],  # m, v, tau col
         axis=1,
     )
     parts = [params[n] for n, _, _ in i_offs] + [jnp.zeros((I, 2 * Wi), dtype)]
@@ -97,6 +105,7 @@ def pack_generic_state(model, params, frozen=None) -> GenericPackedState:
                     f"flattened width {col.shape[1]}"
                 )
             parts.append(col)
+    parts.append(jnp.zeros((I, 1), dtype))  # tau col
     item = jnp.concatenate(parts, axis=1)
 
     zeros_like_tree = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
@@ -105,10 +114,7 @@ def pack_generic_state(model, params, frozen=None) -> GenericPackedState:
                zeros_like_tree(params[name]))
         for name in spec.dense
     }
-    return GenericPackedState(
-        jnp.zeros((), jnp.int32), user, item,
-        jnp.zeros((U,), jnp.int32), jnp.zeros((I,), jnp.int32), dense,
-    )
+    return GenericPackedState(jnp.zeros((), jnp.int32), user, item, dense)
 
 
 def unpack_generic_params(state: GenericPackedState, spec: PackedSpec):
@@ -218,17 +224,20 @@ def make_generic_packed_step(
             gX = None
         t = (state.step + 1).astype(jnp.float32)
 
-        # --- users: all user tables share one packed row and one dedupe ---
+        # --- users: all user tables share one packed row and one dedupe;
+        # the tau column rides the same gather/scatter (no 1D tau ops) ---
         gu_cat = jnp.concatenate([gU[n] for n, _, _ in u_offs], axis=1)
         uids, cg = compact_row_grads(u, gu_cat, B)
-        rows = jnp.take(state.user_pmv, uids, axis=0)
-        dt = (t - state.tau_u[uids].astype(jnp.float32))[:, None]
-        user_pmv = state.user_pmv.at[uids].set(
-            _lazy_rows(rows, cg, dt, t, lr), unique_indices=True
+        rows = jnp.take(state.user_pmv, uids, axis=0)  # [S, 3Wu+1]
+        dt = (t - rows[:, -1])[:, None]
+        new_rows = jnp.concatenate(
+            [
+                _lazy_rows(rows[:, :-1], cg, dt, t, lr),
+                jnp.full((rows.shape[0], 1), t, rows.dtype),
+            ],
+            axis=1,
         )
-        tau_u = state.tau_u.at[uids].set(
-            t.astype(jnp.int32), unique_indices=True
-        )
+        user_pmv = state.user_pmv.at[uids].set(new_rows, unique_indices=True)
 
         # --- items: vector tables + scalars (+ extra rows) share one dedupe ---
         gi_parts = [
@@ -248,24 +257,23 @@ def make_generic_packed_step(
         iids, cgi = compact_row_grads(
             ii, jnp.concatenate(gi_parts, axis=1), 2 * B + B * E
         )
-        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, 3Wi+3nS(+F)]
-        dt = (t - state.tau_i[iids].astype(jnp.float32))[:, None]
+        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, 3Wi+3nS(+F)+1]
+        dt = (t - rows[:, -1])[:, None]
         emb = _lazy_rows(rows[:, : 3 * Wi], cgi[:, :Wi], dt, t, lr)
-        tail = [rows[:, F0:]] if fused_frozen else []  # frozen cols unchanged
+        # frozen cols (when fused) pass through unchanged; tau col refreshed
+        tail = [rows[:, F0:-1]] if fused_frozen else []
+        tau_col = jnp.full((rows.shape[0], 1), t, rows.dtype)
         if nS:
             S = rows.shape[0]
             sc_rows = rows[:, 3 * Wi:F0].reshape(S * nS, 3)
             sc_g = cgi[:, Wi:].reshape(S * nS, 1)
             sc_dt = jnp.repeat(dt, nS, axis=0)
             sc = _lazy_rows(sc_rows, sc_g, sc_dt, t, lr).reshape(S, 3 * nS)
-            new_rows = jnp.concatenate([emb, sc] + tail, axis=1)
+            new_rows = jnp.concatenate([emb, sc] + tail + [tau_col], axis=1)
         else:
-            new_rows = jnp.concatenate([emb] + tail, axis=1) if tail else emb
+            new_rows = jnp.concatenate([emb] + tail + [tau_col], axis=1)
         item_pmv = state.item_pmv.at[iids].set(
             new_rows, unique_indices=True
-        )
-        tau_i = state.tau_i.at[iids].set(
-            t.astype(jnp.int32), unique_indices=True
         )
 
         # --- dense params (arrays or whole pytrees): ordinary dense Adam ---
@@ -286,9 +294,7 @@ def make_generic_packed_step(
             )
 
         return (
-            GenericPackedState(
-                state.step + 1, user_pmv, item_pmv, tau_u, tau_i, dense
-            ),
+            GenericPackedState(state.step + 1, user_pmv, item_pmv, dense),
             loss,
         )
 

@@ -198,6 +198,57 @@ def main():
         t_sc = _timeit(_chain_scatter(dst, ids_s, vals), dst, ids_s, vals)
         rec(f"H4b_scatteradd_src{SN}_ms", t_sc * 1e3)
 
+    # H5 (the packed step's actual write ops): scatter-SET of unique rows
+    # (what .at[uids].set(unique_indices=True) costs vs the H4b adds), and
+    # the 1D int32 tau gather/scatter pair — candidates for folding into
+    # the packed row (row width is nearly free below ~2KB, H3)
+    if want("H5"):
+        vals = jnp.asarray(rng.standard_normal((G, D)).astype(np.float32))
+        dst = jnp.zeros((N, D), jnp.float32)
+
+        def prog_set(d, i0, v):
+            def body(carry, i):
+                return carry.at[(i0 + i) % N].set(
+                    v, unique_indices=True
+                ), None
+
+            out, _ = jax.lax.scan(
+                body, d, jnp.arange(CHAIN, dtype=jnp.int32)
+            )
+            return out[0, 0]
+
+        # ids here are a random permutation slice -> genuinely unique
+        ids_u = jnp.asarray(
+            np.random.default_rng(1).permutation(N)[:G].astype(np.int32)
+        )
+        t_set = _timeit(jax.jit(prog_set), dst, ids_u, vals)
+        rec("H5_scatterset_rows_ms", t_set * 1e3)
+
+        # the step's actual ids are SORTED (sort-based dedupe) — measure
+        # whether the scatter lowering exploits that.  (The +i chain
+        # perturbation keeps sorted ids sorted-with-one-wrap.)
+        t_set_s = _timeit(jax.jit(prog_set), dst, jnp.sort(ids_u), vals)
+        rec("H5_scatterset_sorted_ms", t_set_s * 1e3)
+
+        tau = jnp.zeros((N,), jnp.int32)
+        tvals = jnp.arange(G, dtype=jnp.int32)
+
+        def prog_tau(d, i0, v):
+            def body(carry, i):
+                ii = (i0 + i) % N
+                got = jnp.take(carry, ii)  # the dt read
+                return carry.at[ii].set(
+                    v + got[0], unique_indices=True
+                ), None
+
+            out, _ = jax.lax.scan(
+                body, d, jnp.arange(CHAIN, dtype=jnp.int32)
+            )
+            return out[0]
+
+        t_tau = _timeit(jax.jit(prog_tau), tau, ids_u, tvals)
+        rec("H5_tau_gather_plus_set_1d_ms", t_tau * 1e3)
+
     rec("config", vars(args))
     rec("ns_per_row_random", t_rand / G * 1e9)
     print(json.dumps(results, indent=2))

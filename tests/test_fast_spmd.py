@@ -168,11 +168,12 @@ def test_generic_packed_spmd_matches_single_device():
         np.testing.assert_allclose(
             got, want, rtol=3e-4, atol=1e-5, err_msg=name,
         )
+    # tau rides the final pmv column in the generic layout
     np.testing.assert_array_equal(
-        np.asarray(s8.tau_u), np.asarray(s1.tau_u)
+        np.asarray(s8.user_pmv)[:, -1], np.asarray(s1.user_pmv)[:, -1]
     )
     np.testing.assert_array_equal(
-        np.asarray(s8.tau_i)[:30], np.asarray(s1.tau_i)
+        np.asarray(s8.item_pmv)[:30, -1], np.asarray(s1.item_pmv)[:, -1]
     )
 
 
@@ -239,11 +240,12 @@ def test_generic_packed_spmd_acf_matches_single_device():
                 np.asarray(p8[sub][k_]), np.asarray(v),
                 rtol=3e-4, atol=1e-5, err_msg=f"{sub}.{k_}",
             )
+    # tau rides the final pmv column in the generic layout
     np.testing.assert_array_equal(
-        np.asarray(s8.tau_u), np.asarray(s1.tau_u)
+        np.asarray(s8.user_pmv)[:, -1], np.asarray(s1.user_pmv)[:, -1]
     )
     np.testing.assert_array_equal(
-        np.asarray(s8.tau_i)[:30], np.asarray(s1.tau_i)
+        np.asarray(s8.item_pmv)[:30, -1], np.asarray(s1.item_pmv)[:, -1]
     )
 
 

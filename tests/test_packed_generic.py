@@ -59,14 +59,18 @@ def test_generic_matches_specialized_bprmf():
         gen_state, gl = gen_step(gen_state, (frozen, (u, p, n), None))
         np.testing.assert_allclose(float(gl), float(sl), rtol=1e-6)
 
+    # the generic layout appends the LazyAdam tau as a final fp32 column
     np.testing.assert_array_equal(
-        np.asarray(gen_state.user_pmv), np.asarray(spec_state.user_pmv)
+        np.asarray(gen_state.user_pmv)[:, :-1],
+        np.asarray(spec_state.user_pmv),
     )
     np.testing.assert_array_equal(
-        np.asarray(gen_state.item_pmv), np.asarray(spec_state.item_pmv)
+        np.asarray(gen_state.item_pmv)[:, :-1],
+        np.asarray(spec_state.item_pmv),
     )
     np.testing.assert_array_equal(
-        np.asarray(gen_state.tau_i), np.asarray(spec_state.tau_i)
+        np.asarray(gen_state.item_pmv)[:, -1].astype(np.int32),
+        np.asarray(spec_state.tau_i),
     )
 
 
@@ -95,11 +99,13 @@ def test_generic_matches_specialized_vbpr():
         np.testing.assert_allclose(float(gl), float(sl), rtol=1e-6)
 
     np.testing.assert_allclose(
-        np.asarray(gen_state.user_pmv), np.asarray(spec_state.user_pmv),
+        np.asarray(gen_state.user_pmv)[:, :-1],
+        np.asarray(spec_state.user_pmv),
         rtol=1e-6, atol=1e-8,
     )
     np.testing.assert_allclose(
-        np.asarray(gen_state.item_pmv), np.asarray(spec_state.item_pmv),
+        np.asarray(gen_state.item_pmv)[:, :-1],
+        np.asarray(spec_state.item_pmv),
         rtol=1e-6, atol=1e-8,
     )
     for name in ("E", "Bp"):
@@ -137,11 +143,13 @@ def test_generic_matches_specialized_grad_fashion():
         np.testing.assert_allclose(float(gl), float(sl), rtol=1e-6)
 
     np.testing.assert_allclose(
-        np.asarray(gen_state.user_pmv), np.asarray(spec_state.user_pmv),
+        np.asarray(gen_state.user_pmv)[:, :-1],
+        np.asarray(spec_state.user_pmv),
         rtol=1e-6, atol=1e-8,
     )
     np.testing.assert_allclose(
-        np.asarray(gen_state.item_pmv), np.asarray(spec_state.item_pmv),
+        np.asarray(gen_state.item_pmv)[:, :-1],
+        np.asarray(spec_state.item_pmv),
         rtol=1e-6, atol=1e-8,
     )
 
@@ -357,7 +365,7 @@ def _fused_vs_unfused(model, params, frozen, lr=0.02, reg=0.01, B=12,
     F0 = 3 * Wi + 3 * len(spec.item_scalars)
     assert state_f.item_pmv.shape[1] == F0 + sum(
         w for _, w in spec.frozen_item_tables
-    )
+    ) + 1  # + the tau column
 
     rng = np.random.default_rng(seed)
     for u, p, n in _random_batches(rng, model.num_users, model.num_items,
@@ -370,7 +378,8 @@ def _fused_vs_unfused(model, params, frozen, lr=0.02, reg=0.01, B=12,
         np.asarray(state_f.user_pmv), np.asarray(state_u.user_pmv)
     )
     np.testing.assert_array_equal(
-        np.asarray(state_f.item_pmv)[:, :F0], np.asarray(state_u.item_pmv)
+        np.asarray(state_f.item_pmv)[:, :F0],
+        np.asarray(state_u.item_pmv)[:, :F0],
     )
     for name in state_u.dense:
         np.testing.assert_array_equal(
@@ -385,7 +394,7 @@ def _fused_vs_unfused(model, params, frozen, lr=0.02, reg=0.01, B=12,
             err_msg=name,
         )
     # frozen columns pass through updates untouched
-    packed_cols = np.asarray(state_f.item_pmv)[:, F0:]
+    packed_cols = np.asarray(state_f.item_pmv)[:, F0:-1]
     off = 0
     for name, w in spec.frozen_item_tables:
         want = np.asarray(frozen[name]).reshape(model.num_items, -1)

@@ -23,6 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _negatives_from_rows(key, rows, counts, num_items):
+    """Closed-form complement sampling given pre-gathered positive rows."""
+    # r ~ Uniform[0, num_items - c)
+    u01 = jax.random.uniform(key, (rows.shape[0],))
+    r = jnp.floor(u01 * (num_items - counts)).astype(jnp.int32)
+    r = jnp.minimum(r, num_items - counts - 1)  # guard the u01==1.0 edge
+    shifted = rows - jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]  # [B, P]
+    # k = |{t : shifted_t <= r}|.  A vmapped binary search lowers to a
+    # log(P)-step dynamic-gather loop on TPU; for the small padded widths
+    # here the O(P) comparison count is one fused elementwise+reduce pass
+    # (measured ~9ms -> <1ms per 180k-triple epoch at P=18)
+    k = jnp.sum(shifted <= r[:, None], axis=1, dtype=jnp.int32)
+    return r + k
+
+
 def sample_negatives(
     key: jax.Array,
     users: jax.Array,  # [B] int32
@@ -33,17 +48,7 @@ def sample_negatives(
     """Sample one negative item per batch row, uniform over non-positives."""
     rows = jnp.take(padded_pos, users, axis=0)  # [B, P]
     counts = jnp.take(pos_counts, users)  # [B]
-    # r ~ Uniform[0, num_items - c)
-    u01 = jax.random.uniform(key, users.shape)
-    r = jnp.floor(u01 * (num_items - counts)).astype(jnp.int32)
-    r = jnp.minimum(r, num_items - counts - 1)  # guard the u01==1.0 edge
-    shifted = rows - jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]  # [B, P]
-    # k = |{t : shifted_t <= r}|.  A vmapped binary search lowers to a
-    # log(P)-step dynamic-gather loop on TPU; for the small padded widths
-    # here the O(P) comparison count is one fused elementwise+reduce pass
-    # (measured ~9ms -> <1ms per 180k-triple epoch at P=18)
-    k = jnp.sum(shifted <= r[:, None], axis=1, dtype=jnp.int32)
-    return r + k
+    return _negatives_from_rows(key, rows, counts, num_items)
 
 
 def sample_triplets(
@@ -88,7 +93,40 @@ def sample_triplets(
         idx = jax.random.permutation(perm_key, n)[:take]
     elif mode == "user_perm":
         U = pos_counts.shape[0]
+        Pw = padded_pos.shape[1]
         perm = jax.random.permutation(perm_key, U)
+        if n == U * Pw:
+            # Uniform positive counts — provable from STATIC shapes alone
+            # (sum(counts) == U * max(counts) forces every count == max).
+            # Shuffle whole user RUNS instead of individual pairs: a [U]
+            # superrow gather replaces the [n] pair gather (Pw-fold fewer
+            # row accesses; the row-access floor is ~19ns/row, SPEED.md),
+            # and the negative-sampler's padded_pos/count rows are
+            # gathered ONCE per user and expanded contiguously.  Ordering
+            # and PRNG draws are IDENTICAL to the generic path below —
+            # same perm, same visit order, same neg key/shapes.
+            pairs_s = jnp.take(
+                train_pairs.reshape(U, Pw * 2), perm, axis=0
+            ).reshape(U * Pw, 2)[:take]
+            users = pairs_s[:, 0]
+            pos = pairs_s[:, 1]
+            rows_u = jnp.take(padded_pos, perm, axis=0)  # [U, Pw], once/user
+            # identical u01 draw to the generic path (same key, same [take]
+            # shape); counts are the static Pw everywhere
+            u01 = jax.random.uniform(neg_key, (take,))
+            c = num_items - Pw
+            r = jnp.minimum(jnp.floor(u01 * c).astype(jnp.int32), c - 1)
+            r_u = jnp.pad(r, (0, U * Pw - take)).reshape(U, Pw)
+            shifted = rows_u - jnp.arange(Pw, dtype=jnp.int32)[None, :]
+            # [U, Pw(draw), Pw(table)] compare+reduce fuses — never lands
+            k = jnp.sum(
+                shifted[:, None, :] <= r_u[:, :, None], axis=2,
+                dtype=jnp.int32,
+            )
+            neg = (r_u + k).reshape(U * Pw)[:take]
+            shape = (num_steps, batch_size)
+            return (users.reshape(shape), pos.reshape(shape),
+                    neg.reshape(shape))
         permuted_counts = jnp.take(pos_counts, perm)  # [U]
         out_starts = jnp.cumsum(permuted_counts) - permuted_counts
         row_starts = jnp.cumsum(pos_counts) - pos_counts  # user-major layout

@@ -160,3 +160,37 @@ def test_bootstrap_reaches_generic_trainer_path():
         losses[bootstrap] = float(loss)
     # different triple streams -> different epoch losses
     assert losses[False] != losses[True], losses
+
+
+def test_user_perm_uniform_fast_path_matches_generic():
+    """When every user has the same positive count (statically provable:
+    n == U * padded_width), user_perm shuffles whole user RUNS via a [U]
+    superrow gather (sampler.py fast path).  It must produce bit-identical
+    triples to the generic per-pair-index path — forced here by widening
+    padded_pos with one extra sentinel column (breaks the static
+    uniformity test, changes nothing semantically: sentinels never win
+    the complement-count comparison)."""
+    data = synthetic_interactions(25, 50, interactions_per_user=9, seed=11)
+    counts = np.asarray(data.pos_counts)
+    assert (counts == counts[0]).all(), "fixture must be uniform"
+    batch = 16
+    steps = data.steps_per_epoch(batch)
+    key = jax.random.PRNGKey(13)
+
+    fast = sample_triplets(
+        key, jnp.asarray(data.train_pairs), jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts), data.num_items, steps, batch,
+    )
+    sentinel = data.num_items + 1  # out of range, strictly increasing rows
+    wide = np.concatenate(
+        [np.asarray(data.padded_pos),
+         np.full((data.num_users, 1), sentinel, np.int32)], axis=1,
+    )
+    generic = sample_triplets(
+        key, jnp.asarray(data.train_pairs), jnp.asarray(wide),
+        jnp.asarray(data.pos_counts), data.num_items, steps, batch,
+    )
+    for name, f, g in zip(("users", "pos", "neg"), fast, generic):
+        np.testing.assert_array_equal(
+            np.asarray(f), np.asarray(g), err_msg=name
+        )

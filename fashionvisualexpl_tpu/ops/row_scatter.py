@@ -73,8 +73,12 @@ def scatter_rows_set(table: jax.Array, ids: jax.Array, vals: jax.Array,
     The table buffer is donated (input_output_aliasing) — the update is
     in place when XLA can prove the input dead, exactly like `.at[].set`.
     """
-    if interpret or jax.default_backend() != "tpu":
-        # reference semantics off-TPU (tests, CPU meshes)
+    if not interpret and jax.default_backend() != "tpu":
+        # reference semantics off-TPU (CPU meshes).  `.at[].set` WRAPS
+        # negative ids; the kernel drops them — route ids<0 out of range
+        # first so both paths agree (advisor finding r3).  Tests exercise
+        # the real kernel via interpret=True (as ops/gather.py does).
+        ids = jnp.where(ids < 0, table.shape[0], ids)
         return table.at[ids].set(vals, mode="drop", unique_indices=True)
     B, K = vals.shape
     R = table.shape[0]
@@ -104,6 +108,7 @@ def scatter_rows_set(table: jax.Array, ids: jax.Array, vals: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(table3.shape, table.dtype),
         input_output_aliases={1: 0},  # table (after the prefetch arg) -> out
+        interpret=interpret,
     )(ids_p, table3, vals_p)
     return out[:, 0, :]
 

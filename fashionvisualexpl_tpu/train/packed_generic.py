@@ -154,10 +154,10 @@ def make_generic_packed_step(
         frozen, (u, p_ids, n_ids), rng = batch
         B = u.shape[0]
 
-        UR = jnp.take(state.user_pmv, u, axis=0)  # [B, 3Wu]
+        UR = jnp.take(state.user_pmv, u, axis=0)  # [B, 3Wu+1]
         IR = jnp.take(
             state.item_pmv, jnp.concatenate([p_ids, n_ids]), axis=0
-        )  # [2B, 3Wi+3nS]
+        )  # [2B, 3Wi+3nS(+F)+1]
 
         user_vw = {n: UR[:, off:off + w] for n, off, w in u_offs}
         pos_vw = {n: IR[:B, off:off + w] for n, off, w in i_offs}
@@ -175,7 +175,7 @@ def make_generic_packed_step(
             xids = model.packed_extra_item_ids(
                 frozen, (u, p_ids, n_ids)
             ).reshape(-1)  # [B*E]
-            XR = jnp.take(state.item_pmv, xids, axis=0)  # [B*E, 3Wi+3nS(+F)]
+            XR = jnp.take(state.item_pmv, xids, axis=0)  # [B*E, 3Wi+3nS(+F)+1]
             extra_vw = {
                 n: XR[:, off:off + w].reshape(B, E, w)
                 for n, off, w in i_offs

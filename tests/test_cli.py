@@ -80,8 +80,11 @@ def test_cli_streamed_attentive(dataset_dir):
     )
     assert os.path.exists(stack)
     assert np.load(stack, mmap_mode="r").shape == (24, 16, 16, 1)
-    # attention dump still works off the host-streamed eval encoder
+    # attention dump still works off the host-streamed eval encoder; the
+    # reference dumps attention recs for BOTH the final epoch
+    # (AttentiveFashion.py:308) and the best model (:320)
     assert glob.glob(os.path.join(rdir, "best-att-recs-*.tsv"))
+    assert glob.glob(os.path.join(rdir, "att-recs-2-*.tsv"))
 
 
 def test_cli_fused_frozen_off(dataset_dir):
@@ -225,3 +228,57 @@ def test_cli_acf_exact_train(dataset_dir):
     recs = glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
     assert recs
     assert len(open(recs[0]).read().strip().split("\n")) == 20 * 5
+
+
+class TestFlagValidation:
+    """Invalid flag combos must die at validate_args — BEFORE any data
+    loads (round-3 verdict: `--acf_exact_train --train_path packed`
+    survived parsing and died inside ACF.packed_spec())."""
+
+    def _expect(self, argv, needle):
+        from fashionvisualexpl_tpu.cli.train_rec import parse_args, validate_args
+
+        with pytest.raises(SystemExit, match=needle):
+            validate_args(parse_args(argv))
+
+    def test_acf_exact_train_rejects_packed(self):
+        self._expect(
+            ["--rec", "acf", "--acf_exact_train", "--train_path", "packed"],
+            "generic",
+        )
+
+    def test_streamed_rejects_non_attentive(self):
+        self._expect(["--rec", "bprmf", "--streamed"], "attentive_fashion")
+
+    def test_streamed_rejects_packed_and_mesh(self):
+        self._expect(
+            ["--rec", "attentive_fashion", "--streamed",
+             "--train_path", "packed"],
+            "streamed",
+        )
+        self._expect(
+            ["--rec", "attentive_fashion", "--streamed", "--mesh_data", "2"],
+            "single-device",
+        )
+
+    def test_comp_vbpr_component_arity(self):
+        self._expect(
+            ["--rec", "comp_vbpr", "--activated_components", "1", "1"],
+            "4 toggles",
+        )
+        self._expect(
+            ["--rec", "comp_vbpr", "--weight_components", "0.5", "0.5"],
+            "4 weights",
+        )
+
+    def test_acf_layer_widths(self):
+        self._expect(
+            ["--rec", "acf", "--layers_component", "4", "2"], "width must be 1"
+        )
+
+    def test_valid_combos_pass(self):
+        from fashionvisualexpl_tpu.cli.train_rec import parse_args, validate_args
+
+        validate_args(parse_args(["--rec", "acf", "--acf_exact_train"]))
+        validate_args(parse_args(["--rec", "attentive_fashion", "--streamed"]))
+        validate_args(parse_args(["--rec", "bprmf", "--train_path", "packed"]))

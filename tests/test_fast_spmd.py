@@ -269,3 +269,164 @@ def test_fit_packed_over_mesh():
     history = extra["history"]
     assert history[-1].loss < history[0].loss
     assert results, "eval ran"
+
+
+def test_generic_packed_spmd_attentive_fashion_matches_single_device():
+    """Sharded generic packed engine == single-device engine for
+    AttentiveFashion — the replicated-dense-towers + data-psum'd tower
+    grads composition (three encoders + attention MLP as `dense`, Gu/Gi as
+    packed rows, frozen modality stacks replicated).  Witnesses the
+    sharded analogue of reference AttentiveFashion.py:209-256.
+
+    Dropout is disabled: the SPMD engine folds the step rng per data
+    shard, so stochastic masks cannot line up with the single-device
+    draw; equality is only defined for the deterministic path."""
+    from fashionvisualexpl_tpu.data.features import synthetic_features
+    from fashionvisualexpl_tpu.models.attentive_fashion import AttentiveFashion
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_generic_packed_spmd_epoch_fn, shard_generic_packed_state,
+    )
+    from fashionvisualexpl_tpu.parallel.spmd import shard_params
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        make_generic_packed_epoch_fn, pack_generic_state,
+        unpack_generic_params,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    rng_np = np.random.default_rng(5)
+    color = synthetic_features(30, 7, seed=1)
+    edges = rng_np.random((30, 8, 8, 1)).astype(np.float32)
+    cls = np.eye(5, dtype=np.float32)[rng_np.integers(0, 5, 30)]
+    model = AttentiveFashion(
+        24, 30, color, edges, cls, embed_k=8,
+        attention_layers=(4, 1), encoder_hidden=8, dropout_rate=0.0,
+    )
+    lr, reg, batch = 0.01, 0.01, 16
+    steps = data.steps_per_epoch(batch)
+    args = (
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+    )
+    key = jax.random.PRNGKey(0)
+    params, frozen = model.init(jax.random.PRNGKey(1))
+
+    s1 = pack_generic_state(model, params)
+    ep1 = make_generic_packed_epoch_fn(
+        model, lr, reg, data.num_items, steps, batch, with_replacement=False
+    )
+    _, frozen_sh = shard_params(model, params, frozen, mesh)
+    s8 = shard_generic_packed_state(pack_generic_state(model, params), mesh)
+    ep8 = make_generic_packed_spmd_epoch_fn(
+        model, mesh, lr, reg, data.num_items, steps, batch
+    )
+
+    for e in range(3):
+        k = jax.random.fold_in(key, e)
+        s1, l1 = ep1(s1, frozen, k, *args)
+        s8, l8 = ep8(s8, frozen_sh, k, *args)
+        np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4)
+
+    spec = model.packed_spec()
+    p1 = unpack_generic_params(s1, spec)
+    p8 = unpack_generic_params(s8, spec)
+    for name in ("Gu", "Gi"):
+        got = np.asarray(p8[name])[: np.asarray(p1[name]).shape[0]]
+        np.testing.assert_allclose(
+            got, np.asarray(p1[name]), rtol=3e-4, atol=1e-5, err_msg=name,
+        )
+    for tower in ("color_enc", "class_enc", "edges_enc", "attention"):
+        for k_, v in p1[tower].items():
+            np.testing.assert_allclose(
+                np.asarray(p8[tower][k_]), np.asarray(v),
+                rtol=3e-4, atol=1e-5, err_msg=f"{tower}.{k_}",
+            )
+
+
+def test_generic_packed_spmd_comp_vbpr_matches_single_device():
+    """Sharded generic packed engine == single-device engine for CompVBPR —
+    four feature families: row-sharded frozen tables read through
+    collective_take, the trainable CNN edge tower replicated as `dense`
+    with data-psum'd grads, per-family user profiles as packed user
+    columns.  (CNN dropout zeroed: see the attentive_fashion test.)"""
+    from fashionvisualexpl_tpu.data.features import synthetic_features
+    from fashionvisualexpl_tpu.models.comp_vbpr import CompVBPR
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_generic_packed_spmd_epoch_fn, shard_generic_packed_state,
+    )
+    from fashionvisualexpl_tpu.parallel.spmd import shard_params
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        make_generic_packed_epoch_fn, pack_generic_state,
+        unpack_generic_params,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    rng_np = np.random.default_rng(9)
+    sem = synthetic_features(30, 6, seed=1)
+    color = synthetic_features(30, 7, seed=2)
+    tex = synthetic_features(30, 5, seed=3)
+    edges = rng_np.random((30, 8, 8, 1)).astype(np.float32)
+    model = CompVBPR(24, 30, sem, color, edges, tex, embed_k=8, embed_d=4)
+    model.cnn.dropout_rate = 0.0
+    lr, reg, batch = 0.01, 0.01, 16
+    steps = data.steps_per_epoch(batch)
+    args = (
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+    )
+    key = jax.random.PRNGKey(0)
+    params, frozen = model.init(jax.random.PRNGKey(1))
+
+    s1 = pack_generic_state(model, params)
+    ep1 = make_generic_packed_epoch_fn(
+        model, lr, reg, data.num_items, steps, batch, with_replacement=False
+    )
+    _, frozen_sh = shard_params(model, params, frozen, mesh)
+    s8 = shard_generic_packed_state(pack_generic_state(model, params), mesh)
+    ep8 = make_generic_packed_spmd_epoch_fn(
+        model, mesh, lr, reg, data.num_items, steps, batch
+    )
+
+    for e in range(3):
+        k = jax.random.fold_in(key, e)
+        s1, l1 = ep1(s1, frozen, k, *args)
+        s8, l8 = ep8(s8, frozen_sh, k, *args)
+        np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4)
+
+    spec = model.packed_spec()
+    p1 = unpack_generic_params(s1, spec)
+    p8 = unpack_generic_params(s8, spec)
+    for name in ("Gu", "Tus", "Tuc", "Tue", "Tut", "Gi", "Bi"):
+        got = np.asarray(p8[name])[: np.asarray(p1[name]).shape[0]]
+        np.testing.assert_allclose(
+            got, np.asarray(p1[name]), rtol=3e-4, atol=1e-5, err_msg=name,
+        )
+    # dense projections: Adam's 1/sqrt(v) amplifies reduction-order noise
+    # on near-zero params (the [D,1] Bp* vectors), so atol is a touch wider
+    for name in ("Es", "Bps", "Ec", "Bpc", "Bpe", "Et", "Bpt"):
+        np.testing.assert_allclose(
+            np.asarray(p8[name]), np.asarray(p1[name]),
+            rtol=3e-4, atol=5e-5, err_msg=name,
+        )
+    # the deep CNN tower cannot be compared per-entry: its per-entry
+    # grads are tiny (~1e-6), and Adam's first-step update is lr*sign(g),
+    # so entries whose true gradient sits below reduction-order noise take
+    # lr-sized coin-flip steps that differ between the two engines (the
+    # conv biases random-walk up to ~11*lr over 27 steps) — while the
+    # LOSS tracks to 6 digits, because those dimensions carry no signal.
+    # The meaningful witnesses are the per-epoch loss equality above and
+    # FUNCTIONAL equivalence of the trained models: scores within float
+    # noise and identical top-k rankings.
+    p8_trim = {
+        k_: (np.asarray(v)[:30] if k_ in ("Gi", "Bi") else v)
+        for k_, v in p8.items()
+    }
+    x1 = np.asarray(model.predict_all(p1, frozen))
+    x8 = np.asarray(model.predict_all(p8_trim, frozen))
+    np.testing.assert_allclose(x8, x1, atol=5e-3, rtol=0)
+    np.testing.assert_array_equal(
+        np.argsort(-x1, axis=1)[:, :5], np.argsort(-x8, axis=1)[:, :5]
+    )

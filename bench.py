@@ -37,8 +37,9 @@ CHILD_TIMEOUT_S = 1200
 # model FLOPs are tiny by design (12K per triple: 2 K-dim score dots fwd +
 # their adjoints), so MFU here states honestly that the reference workload
 # is row-gather/latency-bound, not FLOP-bound — the denominator VERDICT r2
-# asked for, not a vanity metric.  SPEED.md carries MFU for the FLOP-heavy
-# paths (encoder towers, streaming-eval counts kernel).
+# asked for, not a vanity metric.  SPEED.md's "Hardware denominators"
+# table carries MFU (or achieved GB/s) for every headline path, including
+# the FLOP-heavy ones (counts kernel 13.3%, encoder towers, serving).
 V5E_PEAK_FLOPS = 197e12
 FLOPS_PER_TRIPLE = 12 * EMBED_K
 

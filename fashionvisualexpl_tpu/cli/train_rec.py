@@ -71,12 +71,14 @@ def build_parser(description="Run train of the Recommender Model."):
                    help="compute dtype for the trainable encoder towers "
                         "(attentive_fashion / comp_vbpr): bfloat16 rides "
                         "the MXU at full rate; params/loss stay fp32")
-    p.add_argument("--edge_tower", choices=["auto", "fused", "xla"],
+    p.add_argument("--edge_tower", choices=["auto", "fused", "xla", "s2d"],
                    default="auto",
                    help="attentive_fashion conv->pool->GAP tower impl: "
                         "fused = the Pallas VMEM-resident kernel "
-                        "(ops/edge_tower.py), xla = inline ops, auto = "
-                        "fused on TPU for even image sizes")
+                        "(ops/edge_tower.py), s2d = the 2x2 space-to-depth "
+                        "conv+pool re-expression (ops/s2d_conv.py), xla = "
+                        "inline ops, auto = fused on TPU for even image "
+                        "sizes")
     p.add_argument("--streaming_eval", action="store_true",
                    help="use the blocked streaming evaluator (factored models)")
     p.add_argument("--streamed", action="store_true",
@@ -97,6 +99,12 @@ def build_parser(description="Run train of the Recommender Model."):
                    help="packed = packed-state rows + LazyAdam "
                         "(train/packed.py; bprmf/vbpr/grad_fashion) — "
                         "~2.5x throughput at large table counts")
+    p.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="packed path: Adam moment storage.  bfloat16 packs "
+                        "m,v as two bf16 halves of one fp32 column — rows "
+                        "shrink 3W+1 -> 2W+1 (1/3 less scatter traffic, "
+                        "~8-bit moment mantissas).  Single-device only")
     p.add_argument("--bootstrap", action="store_true",
                    help="with-replacement triple sampling (original-BPR "
                         "bootstrap) instead of the epoch permutation")

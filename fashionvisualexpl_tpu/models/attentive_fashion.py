@@ -119,12 +119,20 @@ class AttentiveFashion(RecommenderModel):
         #             activation through HBM each op);
         #   "fused" — the Pallas fused kernel (ops/edge_tower.py): the
         #             activation never leaves VMEM (interpret-mode off TPU);
+        #   "s2d"   — the 2x2 space-to-depth re-expression (ops/s2d_conv.py):
+        #             one 3x3x4->4F conv computes conv AND pool without the
+        #             full-res activation; fills the MXU lane axis (4F=256)
+        #             that the direct conv leaves half-empty;
         #   "auto"  — fused on TPU when H and W are even, else xla.
         # Both paths are pinned equivalent in tests/test_edge_tower.py; they
         # differ in the last ulp (banded-matmul vs direct conv accumulation).
-        if edge_tower not in ("auto", "fused", "xla"):
-            raise ValueError(f"edge_tower {edge_tower!r} not in auto/fused/xla")
+        if edge_tower not in ("auto", "fused", "xla", "s2d"):
+            raise ValueError(
+                f"edge_tower {edge_tower!r} not in auto/fused/xla/s2d"
+            )
         h_img, w_img = self._edges.shape[1:3]
+        if edge_tower == "s2d" and (h_img % 2 or w_img % 2):
+            raise ValueError("edge_tower='s2d' requires even image H, W")
         from fashionvisualexpl_tpu.ops.edge_tower import auto_batch_tile
 
         cd_bytes = 2 if self.compute_dtype == jnp.bfloat16 else 4
@@ -234,6 +242,12 @@ class AttentiveFashion(RecommenderModel):
             y = edge_tower_gap(
                 cast_compute(images, cd), enc["conv_W"], enc["conv_b"],
                 self.tower_batch_tile, jax.default_backend() != "tpu",
+            )  # [B, filters] f32
+        elif self.edge_tower == "s2d":
+            from fashionvisualexpl_tpu.ops.s2d_conv import edge_tower_s2d_gap
+
+            y = edge_tower_s2d_gap(
+                cast_compute(images, cd), enc["conv_W"], enc["conv_b"]
             )  # [B, filters] f32
         else:
             y = jax.lax.conv_general_dilated(

@@ -132,7 +132,7 @@ def fit_streamed(
                 store.gather(pos[s], neg[s]),
             )
 
-        total = 0.0
+        losses = []
         t0 = time.time()
         for s, (u, p, n, feats) in HostPrefetcher(
             batches(), gather, depth=prefetch_depth
@@ -142,7 +142,11 @@ def fit_streamed(
                 state, jnp.asarray(u), jnp.asarray(p), jnp.asarray(n),
                 {k: jnp.asarray(v) for k, v in feats.items()}, step_rng,
             )
-            total += float(loss)
+            # keep the loss ON DEVICE: a float() here would sync every
+            # step (one ~29ms tunnel RTT each on remote-TPU hosts) and
+            # stall the prefetch pipeline — fetch ONCE per epoch below
+            losses.append(loss)
+        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         train_time = time.time() - t0
 
         eval_time = 0.0

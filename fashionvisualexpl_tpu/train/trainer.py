@@ -168,6 +168,7 @@ class Trainer:
             model, cfg.lr, cfg.reg, self.data.num_items, steps, batch,
             with_replacement=cfg.sampling_scheme,
             fused_frozen=self._fused_frozen,
+            moment_dtype=getattr(cfg, "moment_dtype", "float32"),
         )
 
         def epoch_fn(state, frozen, key, pairs, pos, cnt):
@@ -188,6 +189,12 @@ class Trainer:
                 GenericPackedTrainState, pack_generic_state,
             )
 
+            if getattr(self.cfg, "moment_dtype", "float32") != "float32":
+                raise ValueError(
+                    "moment_dtype='bfloat16' is a single-device packed-"
+                    "engine option; the sharded engine keeps fp32 moments "
+                    "(they never cross ICI, so there is no traffic to save)"
+                )
             packed = pack_generic_state(self.model, params)
             _, frozen = shard_params(self.model, params, frozen, self.mesh)
             return (
@@ -211,6 +218,8 @@ class Trainer:
                     pack_generic_state(
                         self.model, params,
                         frozen=frozen if self._fused_frozen else None,
+                        moment_dtype=getattr(self.cfg, "moment_dtype",
+                                             "float32"),
                     ),
                     self.model.packed_spec(),
                 ),

@@ -77,11 +77,16 @@ def main():
                     default="float32",
                     help="encoder-tower compute dtype "
                          "(attentive_fashion / comp_vbpr)")
-    ap.add_argument("--edge_tower", choices=["auto", "fused", "xla"],
+    ap.add_argument("--edge_tower", choices=["auto", "fused", "xla", "s2d"],
                     default="auto",
                     help="attentive_fashion conv->pool->GAP tower impl "
                          "(ops/edge_tower.py fused Pallas kernel vs inline "
-                         "XLA)")
+                         "XLA vs ops/s2d_conv.py space-to-depth)")
+    ap.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="packed generic engine: Adam moment storage "
+                         "(bfloat16 = m,v bit-packed into one fp32 column "
+                         "per param column; 1/3 less row traffic)")
     ap.add_argument("--fused_frozen", action="store_true",
                     help="fold frozen per-item feature columns into the "
                          "packed item rows (vbpr/grad_fashion/acf, generic "
@@ -190,11 +195,13 @@ def main():
         fused = bool(args.fused_frozen
                      and model.packed_spec().frozen_item_tables)
         state = pack_generic_state(
-            model, params, frozen=frozen if fused else None
+            model, params, frozen=frozen if fused else None,
+            moment_dtype=args.moment_dtype,
         )
         epoch_fn = make_generic_packed_epoch_fn(
             model, 0.001, 0.001, args.items, steps, batch,
             with_replacement=args.bootstrap, fused_frozen=fused,
+            moment_dtype=args.moment_dtype,
         )
 
         def run(state, key):

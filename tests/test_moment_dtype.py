@@ -1,0 +1,157 @@
+"""bf16 Adam-moment storage for packed rows (moment_dtype='bfloat16').
+
+The generic packed engine can bit-pack (m, v) as two bf16 halves of one
+fp32 column — rows shrink from 3W+1 to 2W+1 columns.  These tests pin the
+pack/unpack bit mechanics, the engine's layout handling (vector tables +
+scalar triples + fused frozen columns), and that the quantized-moment
+trajectory tracks the fp32 one (it cannot be bit-equal: ~8-bit moment
+mantissas are the measured trade).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fashionvisualexpl_tpu.data.features import synthetic_features
+from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+from fashionvisualexpl_tpu.train.packed_generic import (
+    _mv_pack,
+    _mv_unpack,
+    make_generic_packed_epoch_fn,
+    pack_generic_state,
+    unpack_generic_params,
+)
+
+
+def test_mv_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32))
+    v = jnp.asarray((rng.random((5, 7)) * 1e-3).astype(np.float32))
+    m2, v2 = _mv_unpack(_mv_pack(m, v))
+    # bf16 keeps 8 mantissa bits -> rel error <= 2^-8
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m), rtol=1 / 256)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), rtol=1 / 256)
+    # zero bits decode to exact (0, 0) — pack_generic_state zero-init
+    z = jnp.zeros((3,), jnp.float32)
+    m0, v0 = _mv_unpack(z)
+    np.testing.assert_array_equal(np.asarray(m0), 0.0)
+    np.testing.assert_array_equal(np.asarray(v0), 0.0)
+    # exact bf16 values roundtrip bit-exactly
+    me = jnp.asarray([1.0, -0.5, 2.0], jnp.float32)
+    ve = jnp.asarray([0.25, 4.0, 0.0], jnp.float32)
+    m3, v3 = _mv_unpack(_mv_pack(me, ve))
+    np.testing.assert_array_equal(np.asarray(m3), np.asarray(me))
+    np.testing.assert_array_equal(np.asarray(v3), np.asarray(ve))
+
+
+def _run_engine(model, data, frozen, moment_dtype, epochs=3, lr=0.01,
+                fused_frozen=False):
+    params, _ = model.init(jax.random.PRNGKey(1))
+    batch = 16
+    steps = data.steps_per_epoch(batch)
+    state = pack_generic_state(
+        model, params, frozen=frozen if fused_frozen else None,
+        moment_dtype=moment_dtype,
+    )
+    ep = make_generic_packed_epoch_fn(
+        model, lr, 0.01, data.num_items, steps, batch,
+        with_replacement=False, fused_frozen=fused_frozen,
+        moment_dtype=moment_dtype,
+    )
+    args = (
+        jnp.asarray(data.train_pairs),
+        jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts),
+    )
+    losses = []
+    for e in range(epochs):
+        state, loss = ep(state, frozen, jax.random.fold_in(
+            jax.random.PRNGKey(0), e), *args)
+        losses.append(float(loss))
+    return state, losses
+
+
+def test_bf16_moments_track_fp32_vbpr():
+    """VBPR exercises vector tables (Gu/Tu/Gi) + the Bi scalar triple.
+    The bf16-moment trajectory must track fp32 closely (not bit-equal)."""
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    feats = synthetic_features(30, 12, seed=1)
+    model = VBPR(24, 30, feats, embed_k=8, embed_d=4)
+    _, frozen = model.init(jax.random.PRNGKey(1))
+
+    s32, l32 = _run_engine(model, data, frozen, "float32")
+    s16, l16 = _run_engine(model, data, frozen, "bfloat16")
+    # row widths: 3W+1 vs 2W+1
+    spec = model.packed_spec()
+    Wu = sum(w for _, w in spec.user_tables)
+    Wi = sum(w for _, w in spec.item_tables)
+    assert s32.user_pmv.shape[1] == 3 * Wu + 1
+    assert s16.user_pmv.shape[1] == 2 * Wu + 1
+    assert s32.item_pmv.shape[1] == 3 * Wi + 3 + 1
+    assert s16.item_pmv.shape[1] == 2 * Wi + 2 + 1
+    assert l16[-1] < l16[0], "bf16-moment training diverged"
+    for a, b in zip(l16, l32):
+        np.testing.assert_allclose(a, b, rtol=0.02)
+    p32 = unpack_generic_params(s32, spec)
+    p16 = unpack_generic_params(s16, spec)
+    for name in ("Gu", "Tu", "Gi", "Bi", "E", "Bp"):
+        a, b = np.asarray(p16[name]), np.asarray(p32[name])
+        assert np.abs(a - b).max() < 0.05, name  # lr=0.01, 27 steps
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999, name
+
+
+def test_bf16_moments_with_fused_frozen():
+    """Fused frozen columns must sit at the bf16 layout's F0 and pass
+    through updates unchanged."""
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    feats = synthetic_features(30, 12, seed=1)
+    model = VBPR(24, 30, feats, embed_k=8, embed_d=4)
+    _, frozen = model.init(jax.random.PRNGKey(1))
+    s_plain, l_plain = _run_engine(model, data, frozen, "bfloat16")
+    s_fused, l_fused = _run_engine(model, data, frozen, "bfloat16",
+                                   fused_frozen=True)
+    np.testing.assert_allclose(l_fused, l_plain, rtol=1e-6)
+    spec = model.packed_spec()
+    pa = unpack_generic_params(s_plain, spec)
+    pb = unpack_generic_params(s_fused, spec)
+    for name in ("Gu", "Gi", "Bi"):
+        np.testing.assert_allclose(
+            np.asarray(pb[name]), np.asarray(pa[name]),
+            rtol=1e-5, atol=1e-7, err_msg=name,
+        )
+    # frozen cols in the fused rows unchanged by 3 epochs of updates
+    Wi = sum(w for _, w in spec.item_tables)
+    F0 = 2 * Wi + 2 * len(spec.item_scalars)
+    np.testing.assert_array_equal(
+        np.asarray(s_fused.item_pmv[:, F0:-1]),
+        np.asarray(frozen["F"], np.float32),
+    )
+
+
+def test_trainer_moment_dtype():
+    """fit() honors TrainConfig.moment_dtype; the sharded packed path
+    rejects it with a clear error."""
+    from fashionvisualexpl_tpu.core.config import MeshConfig, TrainConfig
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.train.trainer import Trainer, fit
+
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    model = BPRMF(24, 30, embed_k=8)
+    cfg = TrainConfig(batch_size=16, epochs=3, lr=0.05, reg=0.001,
+                      train_path="packed", moment_dtype="bfloat16",
+                      eval_every=10)
+    state, frozen, results, extra = fit(model, data, cfg)
+    history = extra["history"]
+    assert history[-1].loss < history[0].loss
+
+    cfg_mesh = cfg.replace(mesh=MeshConfig(data=4, model=2))
+    with pytest.raises(ValueError, match="single-device"):
+        Trainer(BPRMF(24, 32, embed_k=8),
+                synthetic_interactions(24, 32, interactions_per_user=8,
+                                       seed=0),
+                cfg_mesh).init_state()

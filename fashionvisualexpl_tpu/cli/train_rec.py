@@ -105,6 +105,10 @@ def build_parser(description="Run train of the Recommender Model."):
                         "m,v as two bf16 halves of one fp32 column — rows "
                         "shrink 3W+1 -> 2W+1 (1/3 less scatter traffic, "
                         "~8-bit moment mantissas).  Single-device only")
+    p.add_argument("--lazy_catchup", action="store_true",
+                   help="packed path: apply the closed-form momentum tail "
+                        "of skipped steps on touch (dense-Adam-like "
+                        "convergence at touched-rows-only cost)")
     p.add_argument("--bootstrap", action="store_true",
                    help="with-replacement triple sampling (original-BPR "
                         "bootstrap) instead of the epoch permutation")
@@ -326,6 +330,7 @@ def train(argv=None):
             mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
             train_path=args.train_path, bootstrap=args.bootstrap,
             sampling=args.sampling, fused_frozen=args.fused_frozen,
+            moment_dtype=args.moment_dtype, lazy_catchup=args.lazy_catchup,
         )
         data = Interactions.load(cfg)
 

@@ -191,6 +191,11 @@ class TrainConfig:
     # rows shrink 3W+1 -> 2W+1, cutting the bytes-bound scatter traffic
     # ~1/3 at ~8-bit moment mantissas).  Single-device packed engine only.
     moment_dtype: str = "float32"
+    # packed path: on touch, additionally apply the closed-form momentum
+    # tail dense Adam would have applied over the skipped steps
+    # (train/packed.py::_momentum_catchup) — closes LazyAdam's measured
+    # convergence gap (BASELINE.md round 4) at zero extra row ops.
+    lazy_catchup: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

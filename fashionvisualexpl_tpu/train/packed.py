@@ -83,11 +83,39 @@ def unpack_bprmf_params(state: PackedLazyState, embed_k: int):
     }
 
 
-def _lazy_rows(rows, g, dt, t, lr):
+def _momentum_catchup(p, m, v, dt, t, lr):
+    """Apply the momentum TAIL dense Adam would have applied over the
+    skipped steps, in closed form.
+
+    LazyAdam's plain catch-up decays m by B1^dt but never applies the
+    dt-1 intervening updates `p -= lr*m_hat_j/(sqrt(v_hat_j)+EPS)` that
+    dense Adam performs on every row each step (momentum keeps pushing a
+    row after its last gradient).  At B1=0.9 that tail carries ~9x the
+    single-step update mass — dropping it acts like a smaller effective
+    LR and measurably slows convergence (BASELINE.md round 4: -0.06 AUC
+    at the parity config).  Skipped step j has m_j = m*B1^j and
+    v_j = v*B2^j, so with bias corrections approximated at the touch step
+    the tail telescopes to a geometric sum in r = B1/sqrt(B2):
+
+        p -= lr * m_hat/(sqrt(v_hat)+EPS) * sum_{j=1}^{dt-1} r^j
+    """
+    r = B1 / jnp.sqrt(B2)
+    geom = r * (1.0 - jnp.power(r, jnp.maximum(dt - 1.0, 0.0))) / (1.0 - r)
+    m_hat = m / (1.0 - B1 ** t)
+    v_hat = v / (1.0 - B2 ** t)
+    return p - lr * geom * m_hat / (jnp.sqrt(v_hat) + EPS)
+
+
+def _lazy_rows(rows, g, dt, t, lr, catchup: bool = False):
     """LazyAdam on gathered packed rows: rows [S, 3K(+3)] with p|m|v
-    column groups, g [S, K(+1)] summed grads for the p columns."""
+    column groups, g [S, K(+1)] summed grads for the p columns.
+    ``catchup=True`` additionally applies the closed-form momentum tail of
+    the skipped steps (see _momentum_catchup) before the touch update —
+    dense-Adam-like convergence at touched-rows-only cost."""
     K = g.shape[1]
     p, m, v = rows[:, :K], rows[:, K:2 * K], rows[:, 2 * K:3 * K]
+    if catchup:
+        p = _momentum_catchup(p, m, v, dt, t, lr)
     m = m * jnp.power(B1, dt) + (1.0 - B1) * g
     v = v * jnp.power(B2, dt) + (1.0 - B2) * jnp.square(g)
     m_hat = m / (1.0 - B1 ** t)

@@ -111,16 +111,19 @@ def _mv_unpack(col: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return m, v
 
 
-def _lazy_rows_bf16(rows, g, dt, t, lr):
+def _lazy_rows_bf16(rows, g, dt, t, lr, catchup: bool = False):
     """LazyAdam on gathered packed rows with bf16-packed moments:
     rows [S, 2K(+2)] with p|mv column groups, g [S, K(+1)].  Moment math
     runs fp32; storage rounds to bf16 (the measured trade: 1/3 less row
     traffic on the bytes-bound scatters vs ~8-bit moment mantissas)."""
     from fashionvisualexpl_tpu.train.fast import B1, B2, EPS
+    from fashionvisualexpl_tpu.train.packed import _momentum_catchup
 
     K = g.shape[1]
     p = rows[:, :K]
     m, v = _mv_unpack(rows[:, K:2 * K])
+    if catchup:
+        p = _momentum_catchup(p, m, v, dt, t, lr)
     m = m * jnp.power(B1, dt) + (1.0 - B1) * g
     v = v * jnp.power(B2, dt) + (1.0 - B2) * jnp.square(g)
     m_hat = m / (1.0 - B1 ** t)
@@ -204,13 +207,16 @@ def unpack_generic_params(state: GenericPackedState, spec: PackedSpec):
 
 def make_generic_packed_step(
     model, lr: float, reg: float, fused_frozen: bool = False,
-    moment_dtype: str = "float32",
+    moment_dtype: str = "float32", lazy_catchup: bool = False,
 ) -> Callable:
     """`fused_frozen=True` requires the state to have been packed WITH the
     frozen pytree (pack_generic_state(..., frozen=...)); the step then reads
     the frozen feature columns out of the same row gathers and hands them to
     packed_loss as `frozen_vw`.  `moment_dtype` must match the value the
-    state was packed with (see pack_generic_state)."""
+    state was packed with (see pack_generic_state).  ``lazy_catchup=True``
+    applies the closed-form momentum tail of skipped steps on touch
+    (train/packed.py::_momentum_catchup) — dense-Adam-like convergence at
+    touched-rows-only cost."""
     spec: PackedSpec = model.packed_spec()
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
@@ -218,7 +224,8 @@ def make_generic_packed_step(
     E = spec.extra_items
     f_offs, _ = _offsets(spec.frozen_item_tables)
     mw = _moment_cols(moment_dtype)
-    lazy_rows = _lazy_rows if mw == 3 else _lazy_rows_bf16
+    _rows_fn = _lazy_rows if mw == 3 else _lazy_rows_bf16
+    lazy_rows = functools.partial(_rows_fn, catchup=lazy_catchup)
     F0 = mw * Wi + mw * nS  # frozen columns start here
     fused_frozen = bool(fused_frozen and spec.frozen_item_tables)
 
@@ -376,15 +383,16 @@ def make_generic_packed_step(
 def make_generic_packed_epoch_fn(
     model, lr: float, reg: float, num_items: int, steps: int, batch: int,
     with_replacement: bool = True, fused_frozen: bool = False,
-    moment_dtype: str = "float32",
+    moment_dtype: str = "float32", lazy_catchup: bool = False,
 ) -> Callable:
     """Scanned, donated epoch over the generic packed step.  Per-step PRNG
     keys are threaded through for models whose loss uses dropout
     (AttentiveFashion, CompVBPR's CNN tower); others ignore them.
     `fused_frozen` requires a state packed with the frozen pytree;
-    `moment_dtype` must match the pack (see make_generic_packed_step)."""
+    `moment_dtype`/`lazy_catchup`: see make_generic_packed_step."""
     step_fn = make_generic_packed_step(
-        model, lr, reg, fused_frozen=fused_frozen, moment_dtype=moment_dtype
+        model, lr, reg, fused_frozen=fused_frozen, moment_dtype=moment_dtype,
+        lazy_catchup=lazy_catchup,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -169,6 +169,7 @@ class Trainer:
             with_replacement=cfg.sampling_scheme,
             fused_frozen=self._fused_frozen,
             moment_dtype=getattr(cfg, "moment_dtype", "float32"),
+            lazy_catchup=getattr(cfg, "lazy_catchup", False),
         )
 
         def epoch_fn(state, frozen, key, pairs, pos, cnt):

@@ -692,6 +692,14 @@ def main():
     ap.add_argument("--train_path", choices=["generic", "packed"],
                     default="generic",
                     help="also validates the packed/LazyAdam path's accuracy")
+    ap.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="packed path: bf16 Adam-moment storage — measures "
+                         "the quantized-moment accuracy impact")
+    ap.add_argument("--lazy_catchup", action="store_true",
+                    help="packed path: closed-form momentum catch-up on "
+                         "touch — measures recovery of LazyAdam's "
+                         "convergence gap")
     ap.add_argument("--feature_signal", type=float, default=0.0,
                     help="blend of train-co-occurrence SVD structure into "
                          "the synthetic features (0 = pure noise, the "
@@ -732,7 +740,9 @@ def main():
     # ours (TPU framework)
     cfg = TrainConfig(batch_size=args.batch, epochs=args.epochs, lr=args.lr,
                       reg=args.reg, top_k=args.top_k, eval_every=args.epochs,
-                      train_path=args.train_path, seed=args.seed)
+                      train_path=args.train_path, seed=args.seed,
+                      moment_dtype=args.moment_dtype,
+                      lazy_catchup=args.lazy_catchup)
     model = build_ours(args, data, feats)
     ev = Evaluator(model, data, k=args.top_k, user_block=256)
     buf = io.StringIO()

@@ -87,6 +87,9 @@ def main():
                     help="packed generic engine: Adam moment storage "
                          "(bfloat16 = m,v bit-packed into one fp32 column "
                          "per param column; 1/3 less row traffic)")
+    ap.add_argument("--lazy_catchup", action="store_true",
+                    help="packed generic engine: closed-form momentum "
+                         "catch-up on touch")
     ap.add_argument("--fused_frozen", action="store_true",
                     help="fold frozen per-item feature columns into the "
                          "packed item rows (vbpr/grad_fashion/acf, generic "
@@ -201,7 +204,7 @@ def main():
         epoch_fn = make_generic_packed_epoch_fn(
             model, 0.001, 0.001, args.items, steps, batch,
             with_replacement=args.bootstrap, fused_frozen=fused,
-            moment_dtype=args.moment_dtype,
+            moment_dtype=args.moment_dtype, lazy_catchup=args.lazy_catchup,
         )
 
         def run(state, key):

@@ -86,12 +86,40 @@ def main():
             lat = np.asarray(lat)
             p50, p99 = np.percentile(lat, 50), np.percentile(lat, 99)
             qps = B / p50
+
+            # PROGRAM-ONLY cost (what co-located deployment would see):
+            # the per-call p50 above bills one device->host readback round
+            # trip (~29ms on this remote-tunnel host) to every query.
+            # Chain the jitted query N times on device — independent
+            # programs queue behind each other — and fetch ONE value at
+            # the end; per-call time is then the program cost + dispatch.
+            import jax.numpy as jnp
+
+            bucket = max(8, 1 << (B - 1).bit_length())
+            dev_ids = [
+                jnp.asarray(np.pad(
+                    rng.integers(0, args.users, B).astype(np.int32),
+                    (0, bucket - B),
+                ))
+                for _ in range(8)
+            ]
+            for d in dev_ids:
+                srv._query_fn(srv._index, d)  # warm each bucket instance
+            t0 = time.time()
+            for i in range(args.iters):
+                vals_d, _ = srv._query_fn(srv._index, dev_ids[i % 8])
+            float(vals_d[0, 0])
+            prog_ms = (time.time() - t0) / args.iters * 1e3
+            prog_qps = B / (prog_ms / 1e3)
+
             print(
                 f"[{name}] B={B:5d}: p50 {p50 * 1e3:7.2f} ms  "
-                f"p99 {p99 * 1e3:7.2f} ms  {qps:12,.0f} QPS",
+                f"p99 {p99 * 1e3:7.2f} ms  {qps:12,.0f} QPS  "
+                f"| program-only {prog_ms:7.2f} ms  {prog_qps:12,.0f} QPS",
                 flush=True,
             )
-            path[B] = {"p50_ms": p50 * 1e3, "p99_ms": p99 * 1e3, "qps": qps}
+            path[B] = {"p50_ms": p50 * 1e3, "p99_ms": p99 * 1e3, "qps": qps,
+                       "program_ms": prog_ms, "program_qps": prog_qps}
         out["paths"][name] = path
         del srv
 

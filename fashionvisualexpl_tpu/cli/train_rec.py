@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List
 
 import numpy as np
 
@@ -104,7 +103,8 @@ def build_parser(description="Run train of the Recommender Model."):
                    help="packed path: Adam moment storage.  bfloat16 packs "
                         "m,v as two bf16 halves of one fp32 column — rows "
                         "shrink 3W+1 -> 2W+1 (1/3 less scatter traffic, "
-                        "~8-bit moment mantissas).  Single-device only")
+                        "~8-bit moment mantissas); works single-device AND "
+                        "over the mesh")
     p.add_argument("--lazy_catchup", action="store_true",
                    help="packed path: apply the closed-form momentum tail "
                         "of skipped steps on touch (dense-Adam-like "

@@ -189,7 +189,7 @@ class TrainConfig:
     # packed path: Adam moment storage — "float32" ([p|m|v] rows) or
     # "bfloat16" (m,v bit-packed as two bf16 halves of one fp32 column:
     # rows shrink 3W+1 -> 2W+1, cutting the bytes-bound scatter traffic
-    # ~1/3 at ~8-bit moment mantissas).  Single-device packed engine only.
+    # ~1/3 at ~8-bit moment mantissas).  Single-device and sharded engines.
     moment_dtype: str = "float32"
     # packed path: on touch, additionally apply the closed-form momentum
     # tail dense Adam would have applied over the skipped steps

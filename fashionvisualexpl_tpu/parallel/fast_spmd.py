@@ -263,12 +263,18 @@ def _sharded_packed_lazy_apply(pmv, tau, uids, g, lr, t, k_groups,
 
 
 def _sharded_packed_lazy_apply_taucol(pmv, uids, g, lr, t, k_groups,
-                                      axis_name=MODEL_AXIS):
+                                      axis_name=MODEL_AXIS,
+                                      rows_fn=None, mw: int = 3):
     """Like _sharded_packed_lazy_apply, for rows carrying their LazyAdam
     timestamp as the FINAL fp32 column (the generic engine's layout,
     train/packed_generic.py): the tau read rides the owned-row gather and
-    the tau refresh rides the row scatter — no 1D tau arrays or ops."""
-    from fashionvisualexpl_tpu.train.packed import _lazy_rows
+    the tau refresh rides the row scatter — no 1D tau arrays or ops.
+
+    ``rows_fn``/``mw`` select the moment layout: default fp32 [p|m|v]
+    triples (mw=3, train/packed.py::_lazy_rows); the generic engine passes
+    the bf16-packed variant (mw=2) and/or the momentum catch-up partial."""
+    if rows_fn is None:
+        from fashionvisualexpl_tpu.train.packed import _lazy_rows as rows_fn
 
     shard = jax.lax.axis_index(axis_name)
     rows = pmv.shape[0]
@@ -280,8 +286,8 @@ def _sharded_packed_lazy_apply_taucol(pmv, uids, g, lr, t, k_groups,
     dt = (t - old[:, -1])[:, None]
     parts = []
     for pmv_off, g_off, width in k_groups:
-        parts.append(_lazy_rows(
-            old[:, pmv_off:pmv_off + 3 * width],
+        parts.append(rows_fn(
+            old[:, pmv_off:pmv_off + mw * width],
             g[:, g_off:g_off + width], dt, t, lr,
         ))
     parts.append(jnp.full((old.shape[0], 1), t, old.dtype))  # tau col
@@ -428,6 +434,8 @@ def make_generic_packed_spmd_epoch_fn(
     steps: int,
     batch: int,
     with_replacement: bool = False,
+    moment_dtype: str = "float32",
+    lazy_catchup: bool = False,
 ) -> Callable:
     """Sharded epoch for the GENERIC packed engine (train/packed_generic.py):
     any model implementing packed_spec/packed_loss runs its packed-row +
@@ -441,10 +449,12 @@ def make_generic_packed_spmd_epoch_fn(
     from fashionvisualexpl_tpu.parallel.spmd import (
         collective_take, param_spec_tree,
     )
+    import functools as _ft
+
     from fashionvisualexpl_tpu.train.fast import dense_adam
-    from fashionvisualexpl_tpu.train.packed import _lazy_rows  # noqa: F401
+    from fashionvisualexpl_tpu.train.packed import _lazy_rows
     from fashionvisualexpl_tpu.train.packed_generic import (
-        GenericPackedState, _offsets,
+        GenericPackedState, _lazy_rows_bf16, _moment_cols, _offsets,
     )
 
     spec = model.packed_spec()
@@ -452,9 +462,12 @@ def make_generic_packed_spmd_epoch_fn(
     i_offs, Wi = _offsets(spec.item_tables)
     nS = len(spec.item_scalars)
     E = spec.extra_items
-    scalar_cols = [3 * Wi + 3 * j for j in range(nS)]
+    mw = _moment_cols(moment_dtype)
+    rows_fn = _ft.partial(_lazy_rows if mw == 3 else _lazy_rows_bf16,
+                          catchup=lazy_catchup)
+    scalar_cols = [mw * Wi + mw * j for j in range(nS)]
     item_groups = [(0, 0, Wi)] + [
-        (3 * Wi + 3 * j, Wi + j, 1) for j in range(nS)
+        (mw * Wi + mw * j, Wi + j, 1) for j in range(nS)
     ]
 
     d_size = mesh.shape[DATA_AXIS]
@@ -554,11 +567,13 @@ def make_generic_packed_spmd_epoch_fn(
         B = u_all.shape[0]
         uids, cg = compact_row_grads(u_all, gu_all, B)
         user_pmv = _sharded_packed_lazy_apply_taucol(
-            state.user_pmv, uids, cg, lr, t, [(0, 0, Wu)]
+            state.user_pmv, uids, cg, lr, t, [(0, 0, Wu)],
+            rows_fn=rows_fn, mw=mw,
         )
         iids, cgi = compact_row_grads(ii_all, gi_all, (2 + E) * B)
         item_pmv = _sharded_packed_lazy_apply_taucol(
-            state.item_pmv, iids, cgi, lr, t, item_groups
+            state.item_pmv, iids, cgi, lr, t, item_groups,
+            rows_fn=rows_fn, mw=mw,
         )
 
         dense = {}

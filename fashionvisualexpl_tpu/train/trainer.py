@@ -86,6 +86,8 @@ class Trainer:
                 model, self.mesh, cfg.lr, cfg.reg, data.num_items,
                 self.steps_per_epoch, cfg.batch_size,
                 with_replacement=cfg.sampling_scheme,
+                moment_dtype=getattr(cfg, "moment_dtype", "float32"),
+                lazy_catchup=getattr(cfg, "lazy_catchup", False),
             )
 
             def packed_spmd_epoch(state, frozen, key, pairs, pos, cnt):
@@ -190,13 +192,10 @@ class Trainer:
                 GenericPackedTrainState, pack_generic_state,
             )
 
-            if getattr(self.cfg, "moment_dtype", "float32") != "float32":
-                raise ValueError(
-                    "moment_dtype='bfloat16' is a single-device packed-"
-                    "engine option; the sharded engine keeps fp32 moments "
-                    "(they never cross ICI, so there is no traffic to save)"
-                )
-            packed = pack_generic_state(self.model, params)
+            packed = pack_generic_state(
+                self.model, params,
+                moment_dtype=getattr(self.cfg, "moment_dtype", "float32"),
+            )
             _, frozen = shard_params(self.model, params, frozen, self.mesh)
             return (
                 GenericPackedTrainState(

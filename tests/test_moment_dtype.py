@@ -134,24 +134,73 @@ def test_bf16_moments_with_fused_frozen():
 
 
 def test_trainer_moment_dtype():
-    """fit() honors TrainConfig.moment_dtype; the sharded packed path
-    rejects it with a clear error."""
+    """fit() honors TrainConfig.moment_dtype on BOTH the single-device and
+    the sharded packed paths (8-device virtual mesh)."""
     from fashionvisualexpl_tpu.core.config import MeshConfig, TrainConfig
     from fashionvisualexpl_tpu.models.bprmf import BPRMF
-    from fashionvisualexpl_tpu.train.trainer import Trainer, fit
+    from fashionvisualexpl_tpu.train.trainer import fit
 
-    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
-    model = BPRMF(24, 30, embed_k=8)
+    data = synthetic_interactions(24, 32, interactions_per_user=8, seed=0)
+    model = BPRMF(24, 32, embed_k=8)
     cfg = TrainConfig(batch_size=16, epochs=3, lr=0.05, reg=0.001,
                       train_path="packed", moment_dtype="bfloat16",
-                      eval_every=10)
+                      lazy_catchup=True, eval_every=10)
     state, frozen, results, extra = fit(model, data, cfg)
     history = extra["history"]
     assert history[-1].loss < history[0].loss
 
     cfg_mesh = cfg.replace(mesh=MeshConfig(data=4, model=2))
-    with pytest.raises(ValueError, match="single-device"):
-        Trainer(BPRMF(24, 32, embed_k=8),
-                synthetic_interactions(24, 32, interactions_per_user=8,
-                                       seed=0),
-                cfg_mesh).init_state()
+    model2 = BPRMF(24, 32, embed_k=8)
+    state2, frozen2, results2, extra2 = fit(model2, data, cfg_mesh)
+    h2 = extra2["history"]
+    assert h2[-1].loss < h2[0].loss
+
+
+def test_sharded_bf16_catchup_matches_single_device():
+    """Sharded generic engine with bf16 moments + momentum catch-up ==
+    single-device engine with the same options (the 10^8-row regime the
+    option exists for IS the multi-chip regime)."""
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_generic_packed_spmd_epoch_fn, shard_generic_packed_state,
+    )
+    from fashionvisualexpl_tpu.parallel.spmd import shard_params
+
+    mesh = make_mesh(data=2, model=4)
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    feats = synthetic_features(30, 12, seed=1)
+    model = VBPR(24, 30, feats, embed_k=8, embed_d=4)
+    params, frozen = model.init(jax.random.PRNGKey(1))
+    lr, reg, batch = 0.01, 0.01, 16
+    steps = data.steps_per_epoch(batch)
+    args = (jnp.asarray(data.train_pairs), jnp.asarray(data.padded_pos),
+            jnp.asarray(data.pos_counts))
+    key = jax.random.PRNGKey(0)
+
+    s1 = pack_generic_state(model, params, moment_dtype="bfloat16")
+    ep1 = make_generic_packed_epoch_fn(
+        model, lr, reg, data.num_items, steps, batch,
+        with_replacement=False, moment_dtype="bfloat16", lazy_catchup=True,
+    )
+    _, frozen_sh = shard_params(model, params, frozen, mesh)
+    s8 = shard_generic_packed_state(
+        pack_generic_state(model, params, moment_dtype="bfloat16"), mesh
+    )
+    ep8 = make_generic_packed_spmd_epoch_fn(
+        model, mesh, lr, reg, data.num_items, steps, batch,
+        moment_dtype="bfloat16", lazy_catchup=True,
+    )
+    for e in range(3):
+        k = jax.random.fold_in(key, e)
+        s1, l1 = ep1(s1, frozen, k, *args)
+        s8, l8 = ep8(s8, frozen_sh, k, *args)
+        np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4)
+    spec = model.packed_spec()
+    p1 = unpack_generic_params(s1, spec)
+    p8 = unpack_generic_params(s8, spec)
+    for name in ("Gu", "Tu", "Gi", "Bi"):
+        got = np.asarray(p8[name])[: np.asarray(p1[name]).shape[0]]
+        np.testing.assert_allclose(
+            got, np.asarray(p1[name]), rtol=3e-4, atol=2e-5, err_msg=name,
+        )

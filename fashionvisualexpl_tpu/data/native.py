@@ -79,6 +79,11 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.fvx_write_recs_tsv.argtypes = [
             ctypes.c_char_p, i32p, i32p, f32p, ctypes.c_long, ctypes.c_long,
         ]
+        lib.fvx_gather_rows.restype = None
+        lib.fvx_gather_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, i32p,
+            ctypes.c_long, ctypes.c_char_p,
+        ]
         _lib = lib
         return _lib
 
@@ -130,6 +135,30 @@ def pad_sorted_positives_native(
             "implementation's error; truncation would corrupt sampling)"
         )
     return padded, counts
+
+
+def gather_rows_native(src: np.ndarray, ids: np.ndarray,
+                       out: Optional[np.ndarray] = None
+                       ) -> Optional[np.ndarray]:
+    """Threaded row gather `src[ids]` for a C-contiguous array or read-only
+    np.memmap (the streamed trainer's host hot path — numpy fancy indexing
+    copies on ONE thread).  Returns None when the native library is
+    unavailable (caller falls back to `src[ids]`)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if not (isinstance(src, np.ndarray) and src.flags["C_CONTIGUOUS"]):
+        return None
+    ids = np.ascontiguousarray(ids, np.int32)
+    row_shape = src.shape[1:]
+    row_bytes = int(np.prod(row_shape, dtype=np.int64)) * src.itemsize
+    if out is None:
+        out = np.empty((len(ids),) + row_shape, src.dtype)
+    lib.fvx_gather_rows(
+        src.ctypes.data_as(ctypes.c_char_p), src.shape[0], row_bytes,
+        ids, len(ids), out.ctypes.data_as(ctypes.c_char_p),
+    )
+    return out
 
 
 def write_recs_tsv(

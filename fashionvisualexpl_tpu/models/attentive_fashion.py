@@ -124,8 +124,10 @@ class AttentiveFashion(RecommenderModel):
         #             full-res activation; fills the MXU lane axis (4F=256)
         #             that the direct conv leaves half-empty;
         #   "auto"  — fused on TPU when H and W are even, else xla.
-        # Both paths are pinned equivalent in tests/test_edge_tower.py; they
-        # differ in the last ulp (banded-matmul vs direct conv accumulation).
+        # All paths are pinned equivalent (tests/test_edge_tower.py,
+        # tests/test_s2d_conv.py); they differ in the last ulp only.
+        # Measured ranking on v5e (SPEED.md round 4): fp32 fused > xla >
+        # s2d; bf16 xla ~ fused > s2d — s2d is a documented negative.
         if edge_tower not in ("auto", "fused", "xla", "s2d"):
             raise ValueError(
                 f"edge_tower {edge_tower!r} not in auto/fused/xla/s2d"

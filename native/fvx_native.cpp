@@ -317,4 +317,31 @@ long fvx_write_recs_tsv(const char* path, const int32_t* users,
   return total;
 }
 
+// Parallel row gather: dst[i, :] = src[ids[i], :] for fixed-size rows —
+// the host side of the streamed >HBM trainer's per-batch feature gather
+// (train/streamed.py::ArrayFeatureStore).  numpy's fancy indexing runs a
+// single-thread memcpy loop (~1.1 GB/s measured on this host); threading
+// the copy scales it by the core count, and against an np.memmap source
+// the per-thread page faults parallelize the DISK reads too.  Out-of-range
+// ids are a caller bug; they are clamped rather than read wild.
+void fvx_gather_rows(const char* src, long n_rows, long row_bytes,
+                     const int32_t* ids, long n_ids, char* dst) {
+  int nt = hw_threads();
+  long per = (n_ids + nt - 1) / nt;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t] {
+      long lo = t * per;
+      long hi = std::min(n_ids, lo + per);
+      for (long i = lo; i < hi; ++i) {
+        long r = ids[i];
+        if (r < 0) r = 0;
+        if (r >= n_rows) r = n_rows - 1;
+        memcpy(dst + i * row_bytes, src + r * row_bytes, row_bytes);
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+}
+
 }  // extern "C"

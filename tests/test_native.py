@@ -111,3 +111,36 @@ def test_native_write_recs_tsv(tmp_path):
             u, i, s = lines[r * k + j].split("\t")
             assert int(u) == users[r] and int(i) == ids[r, j]
             assert np.float32(s) == vals[r, j]  # %.9g round-trips float32
+
+
+def test_native_gather_rows_matches_numpy():
+    """Threaded native row gather == src[ids] (float32, 2D/4D rows)."""
+    from fashionvisualexpl_tpu.data.native import gather_rows_native, load_library
+
+    if load_library() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    for shape in [(50, 16), (40, 4, 4, 1)]:
+        src = rng.random(shape).astype(np.float32)
+        ids = rng.integers(0, shape[0], 33).astype(np.int32)
+        got = gather_rows_native(src, ids)
+        np.testing.assert_array_equal(got, src[ids])
+
+
+def test_streamed_store_uses_native_gather():
+    """ArrayFeatureStore.gather output identical with and without the
+    native path (the streamed trainer's host hot path)."""
+    from fashionvisualexpl_tpu.train.streamed import ArrayFeatureStore
+
+    rng = np.random.default_rng(1)
+    color = rng.random((30, 8)).astype(np.float32)
+    edges = rng.random((30, 4, 4, 1)).astype(np.float32)
+    cls = rng.random((30, 5)).astype(np.float32)
+    store = ArrayFeatureStore(color, edges, cls)
+    pos = rng.integers(0, 30, 10).astype(np.int32)
+    neg = rng.integers(0, 30, 10).astype(np.int32)
+    feats = store.gather(pos, neg)
+    store._native = False
+    ref = store.gather(pos, neg)
+    for k in ref:
+        np.testing.assert_array_equal(feats[k], ref[k])

@@ -105,10 +105,13 @@ def build_parser(description="Run train of the Recommender Model."):
                         "shrink 3W+1 -> 2W+1 (1/3 less scatter traffic, "
                         "~8-bit moment mantissas); works single-device AND "
                         "over the mesh")
-    p.add_argument("--lazy_catchup", action="store_true",
+    p.add_argument("--lazy_catchup",
+                   type=lambda s: s not in ("0", "False", "false"),
+                   default=True,
                    help="packed path: apply the closed-form momentum tail "
                         "of skipped steps on touch (dense-Adam-like "
-                        "convergence at touched-rows-only cost)")
+                        "convergence at touched-rows-only cost; "
+                        "throughput-free).  Pass 0 for plain LazyAdam")
     p.add_argument("--bootstrap", action="store_true",
                    help="with-replacement triple sampling (original-BPR "
                         "bootstrap) instead of the epoch permutation")

@@ -194,8 +194,10 @@ class TrainConfig:
     # packed path: on touch, additionally apply the closed-form momentum
     # tail dense Adam would have applied over the skipped steps
     # (train/packed.py::_momentum_catchup) — closes LazyAdam's measured
-    # convergence gap (BASELINE.md round 4) at zero extra row ops.
-    lazy_catchup: bool = False
+    # convergence gap (BASELINE.md round 4) at zero extra row ops
+    # (throughput-free, SPEED.md).  Default ON since round 4; the raw
+    # engine functions default OFF to keep plain-LazyAdam pins unchanged.
+    lazy_catchup: bool = True
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

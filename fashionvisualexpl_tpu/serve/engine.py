@@ -177,6 +177,14 @@ class RecServer:
             self._query_fn = jax.jit(
                 self._factored_query if self._factored else self._direct_query
             )
+            # history rows gather in its OWN tiny program: see
+            # _filtered_topk's hist docstring (per-call whole-table
+            # relayout otherwise)
+            self._hist_fn = jax.jit(
+                lambda banned, counts, ids: (
+                    jnp.take(banned, ids, axis=0), jnp.take(counts, ids)
+                )
+            )
 
     # --- index build -----------------------------------------------------
 
@@ -299,6 +307,17 @@ class RecServer:
         ):
             interp = self._segmax_kernel == "interpret"
             ti = blk if interp else seg * 128
+            if not interp and uf.shape[0] <= 256:
+                # small batches: the kernel's per-grid-step overhead
+                # dominates at the minimum lane-aligned tile (244 steps at
+                # tile 4096 over a 1M catalog measured 25.5ms at B<=8 while
+                # the int8 XLA scan did 1.9ms) — widen the tile so the grid
+                # shrinks; VMEM/step stays small because the score block is
+                # [min(128,B), tile]; tile 16384 stays under the 16MB
+                # scoped-VMEM limit (32768 measured 16.25MB: OOM).
+                # B>=1024 keeps the measured-optimal 4096.
+                while ti * 2 <= 16384 and Ip % (ti * 2) == 0:
+                    ti *= 2
             if Ip % ti == 0:
                 from fashionvisualexpl_tpu.ops.segmax import segmax_scores
 
@@ -452,11 +471,20 @@ class RecServer:
         )
         return s.reshape(B, -1)
 
-    def _filtered_topk(self, index, s, ti, user_ids):
+    def _filtered_topk(self, index, s, ti, user_ids, hist=None):
         """Stage 3: drop the user's train items by id, exact final top-k
-        (approx_max_k recall 1.0 — PartialReduce, not a sort)."""
-        banned = jnp.take(index["banned"], user_ids, axis=0)
-        counts = jnp.take(index["banned_counts"], user_ids)
+        (approx_max_k recall 1.0 — PartialReduce, not a sort).
+
+        ``hist=(banned_rows, counts)`` supplies the user's history rows
+        pre-gathered OUTSIDE this program (single-device path): with the
+        [U, P] table as an in-program operand XLA relayouts the WHOLE
+        table per call at small B (measured 1.74ms + 80MB HBM traffic per
+        query at U=1M, P=20 — the dominant B<=64 program cost)."""
+        if hist is not None:
+            banned, counts = hist
+        else:
+            banned = jnp.take(index["banned"], user_ids, axis=0)
+            counts = jnp.take(index["banned_counts"], user_ids)
         valid_b = jnp.arange(banned.shape[1])[None, :] < counts[:, None]
         is_banned = jnp.logical_and(
             ti[:, :, None] == banned[:, None, :], valid_b[:, None, :]
@@ -475,11 +503,13 @@ class RecServer:
             )
         return vals, ids
 
-    def _factored_query(self, index, user_ids):
+    def _factored_query(self, index, user_ids, banned_rows, banned_counts):
         uf = jnp.take(index["uf"], user_ids, axis=0)
         ti, seg_ids = self._candidates(index, uf)
         s = self._rescore(index, uf, ti, seg_ids)
-        return self._filtered_topk(index, s, ti, user_ids)
+        return self._filtered_topk(
+            index, s, ti, user_ids, hist=(banned_rows, banned_counts)
+        )
 
     def _sharded_query(self, index, user_ids):
         """Distributed query: catalog row-sharded over the `model` mesh axis.
@@ -519,13 +549,12 @@ class RecServer:
         )
         return fn(index, user_ids)
 
-    def _direct_query(self, index, user_ids):
+    def _direct_query(self, index, user_ids, banned_rows, banned_counts):
         I = self.data.num_items
         scores = self.model.predict_user_block(
             index["params"], index["frozen"], user_ids, index["ctx"]
         )[:, :I]
-        banned = jnp.take(index["banned"], user_ids, axis=0)
-        counts = jnp.take(index["banned_counts"], user_ids)
+        banned, counts = banned_rows, banned_counts
         # pad slots -> id I, dropped by the scatter (never a catalog column)
         P = banned.shape[1]
         drop = jnp.where(jnp.arange(P)[None, :] < counts[:, None], banned, I)
@@ -537,6 +566,18 @@ class RecServer:
         return vals, idx.astype(jnp.int32)
 
     # --- public query surface --------------------------------------------
+
+    def _run_query(self, dev_ids):
+        """(vals, ids) device arrays for one padded id bucket — no host
+        fetch.  Single-device paths pre-gather the history rows in the
+        tiny _hist_fn program (see _filtered_topk); the sharded path keeps
+        the tables in-program (they shard over `model`)."""
+        if self.mesh is not None:
+            return self._query_fn(self._index, dev_ids)
+        br, cr = self._hist_fn(
+            self._index["banned"], self._index["banned_counts"], dev_ids
+        )
+        return self._query_fn(self._index, dev_ids, br, cr)
 
     def query(self, user_ids) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k (ids, scores) for a batch of user ids.  Batches pad to
@@ -577,7 +618,7 @@ class RecServer:
         bucket = max(8, 1 << (n - 1).bit_length())
         padded = np.zeros(bucket, np.int32)
         padded[:n] = user_ids
-        vals, ids = self._query_fn(self._index, jnp.asarray(padded))
+        vals, ids = self._run_query(jnp.asarray(padded))
         # one combined host fetch: each device->host readback costs a full
         # round trip on remote-tunnel platforms (~29 ms measured here)
         ids, vals = jax.device_get((ids, vals))

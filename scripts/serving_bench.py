@@ -104,10 +104,10 @@ def main():
                 for _ in range(8)
             ]
             for d in dev_ids:
-                srv._query_fn(srv._index, d)  # warm each bucket instance
+                srv._run_query(d)  # warm each bucket instance
             t0 = time.time()
             for i in range(args.iters):
-                vals_d, _ = srv._query_fn(srv._index, dev_ids[i % 8])
+                vals_d, _ = srv._run_query(dev_ids[i % 8])
             float(vals_d[0, 0])
             prog_ms = (time.time() - t0) / args.iters * 1e3
             prog_qps = B / (prog_ms / 1e3)

@@ -297,6 +297,7 @@ def build_model(args, data, cfg):
             max_user_pos=args.max_user_pos,
             exact_eval=args.acf_exact_eval,
             exact_train=args.acf_exact_train,
+            compute_dtype=args.compute_dtype,
         )
     raise NotImplementedError("Not implemented or unknown Recommender Model.")
 

@@ -32,6 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fashionvisualexpl_tpu.core.precision import (
+    cast_compute,
+    cast_f32,
+    resolve_compute_dtype,
+)
 from fashionvisualexpl_tpu.data.interactions import Interactions
 from fashionvisualexpl_tpu.models.base import (
     Frozen,
@@ -81,6 +86,7 @@ class ACF(RecommenderModel):
         exact_eval: bool = False,
         exact_train: bool = False,
         pos_chunk: int = 64,
+        compute_dtype: str = "float32",
     ):
         """Either `data` (per-user lists, padded/subsampled to
         `max_user_pos`, default 64) or precomputed
@@ -120,6 +126,10 @@ class ACF(RecommenderModel):
         self.exact_eval = bool(exact_eval)
         self.exact_train = bool(exact_train)
         self.pos_chunk = int(pos_chunk)
+        # bf16 runs the two-level attention MLP einsums on the MXU at full
+        # rate; softmax, masking, and the profile accumulation stay fp32
+        # (the step's non-row cost is mostly these einsums, SPEED.md r3)
+        self.compute_dtype = resolve_compute_dtype(compute_dtype)
 
         if padded_positives is not None:
             if positive_counts is None:
@@ -218,7 +228,14 @@ class ACF(RecommenderModel):
     def _item_logits(self, comp, item, g_u, f, g_i, p_i):
         """Item-level attention logits [B, P] for pre-gathered positives:
         g_u [B, K], f [B, P, S, C], g_i/p_i [B, P, K].  The component-level
-        softmax over the spatial axis S happens inside (ACF.py:152-162)."""
+        softmax over the spatial axis S happens inside (ACF.py:152-162).
+
+        With compute_dtype=bfloat16 the MLP einsums run bf16 on the MXU;
+        both softmaxes and the returned logits are fp32."""
+        cd = self.compute_dtype
+        g_u, f, g_i, p_i = (cast_compute(x, cd) for x in (g_u, f, g_i, p_i))
+        comp = {k: cast_compute(v, cd) for k, v in comp.items()}
+        item = {k: cast_compute(v, cd) for k, v in item.items()}
         b = (
             (g_u @ comp["W0_u"])[:, None, None, :]
             + jnp.einsum("bpsc,ct->bpst", f, comp["W0_i"])
@@ -227,8 +244,8 @@ class ACF(RecommenderModel):
         b = jax.nn.relu(b)
         for c in range(1, len(self.layers_component)):
             b = jnp.einsum("bpst,ut->bpsu", b, comp[f"W{c}"]) + comp[f"b{c}"]
-        beta = jax.nn.softmax(b[..., 0], axis=2)  # [B, P, S]
-        x_l = jnp.einsum("bps,bpsc->bpc", beta, f)  # [B, P, C]
+        beta = jax.nn.softmax(cast_f32(b[..., 0]), axis=2)  # [B, P, S] f32
+        x_l = jnp.einsum("bps,bpsc->bpc", cast_compute(beta, cd), f)
 
         a = (
             (g_u @ item["W0_u"])[:, None, :]
@@ -240,7 +257,7 @@ class ACF(RecommenderModel):
         a = jax.nn.relu(a)
         for i in range(1, len(self.layers_item)):
             a = jnp.einsum("bpt,ut->bpu", a, item[f"W{i}"]) + item[f"b{i}"]
-        return a[..., 0]  # [B, P]
+        return cast_f32(a[..., 0])  # [B, P] f32
 
     def _attentive_profile(self, comp, item, g_u, f, g_i, p_i, cnt):
         """The two-level attention math over pre-gathered inputs.  Shared by

@@ -162,6 +162,7 @@ def main():
             args.users, args.items, spat,
             embed_k=args.embed_k,
             padded_positives=padded_pos, positive_counts=counts,
+            compute_dtype=args.compute_dtype,
         )
     else:  # comp_vbpr, all four families active
         from fashionvisualexpl_tpu.data.features import synthetic_features

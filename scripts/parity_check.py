@@ -636,6 +636,7 @@ def build_ours(args, data, feats):
             embed_k=args.embed_k,
             layers_component=tuple(args.layers_component),
             layers_item=tuple(args.layers_item),
+            compute_dtype=args.compute_dtype,
         )
     if args.rec == "attentive_fashion":
         from fashionvisualexpl_tpu.models.attentive_fashion import (
@@ -696,6 +697,10 @@ def main():
                     default="float32",
                     help="packed path: bf16 Adam-moment storage — measures "
                          "the quantized-moment accuracy impact")
+    ap.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="acf: attention-MLP compute dtype — measures the "
+                         "bf16-attention accuracy impact")
     ap.add_argument("--lazy_catchup", action="store_true",
                     help="packed path: closed-form momentum catch-up on "
                          "touch — measures recovery of LazyAdam's "

@@ -30,10 +30,23 @@ from fashionvisualexpl_tpu.ops.topk import (
 
 
 def sharded_streaming_counts(
-    mesh, uf, item_factors, item_bias, ref_scores, banned_ids, item_block
+    mesh, uf, item_factors, item_bias, ref_scores, banned_ids, item_block,
+    impl: str = "mask", bucket_width: Optional[int] = None,
+    interpret: bool = False,
 ):
-    """Distributed counts-only pass: each model-shard scans its item rows
-    with its global offset; the >=-position counts psum over `model`."""
+    """Distributed counts-only pass: each model-shard scans its item rows;
+    the >=-position counts psum over `model`.
+
+    ``impl`` selects the per-shard counts engine — the same three engines
+    as the single-device evaluator (mask scan / bucketed scan / fused
+    Pallas kernel, all count-identical).  For the bucketed/pallas engines
+    each shard re-buckets the banned ids in SHARD-LOCAL coordinates on
+    device (``banned - shard*rows``; ids owned by other shards and -1
+    pads fall outside [0, rows) and are dropped by the bucketing), so the
+    exclusion stays BY ID per shard with no cross-shard traffic beyond
+    the final psum.  ``bucket_width`` must then be a host-probed static
+    width valid for EVERY shard (max over shards of banned_bucket_width
+    on the shard-local ids — FactoredEvaluator probes this once)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -44,14 +57,44 @@ def sharded_streaming_counts(
     if I % m_size != 0:
         raise ValueError(f"items {I} not divisible by model axis {m_size}")
     rows = I // m_size
+    if impl != "mask" and bucket_width is None:
+        raise ValueError(f"impl {impl!r} needs a host-probed bucket_width")
+    tile = min(item_block, rows)
 
     def shard_fn(uf, iv, ib, ref_s, banned):
         shard = jax.lax.axis_index(MODEL_AXIS)
-        counts = streaming_counts(
-            uf, iv, None if ib is None else ib,
-            ref_scores=ref_s, banned_ids=banned,
-            item_block=item_block, item_offset=shard * rows,
-        )
+        ib_l = None if ib is None else ib
+        if impl == "mask":
+            counts = streaming_counts(
+                uf, iv, ib_l,
+                ref_scores=ref_s, banned_ids=banned,
+                item_block=item_block, item_offset=shard * rows,
+            )
+        else:
+            from fashionvisualexpl_tpu.ops.topk import (
+                bucket_banned_ids_device,
+                streaming_counts_bucketed,
+            )
+
+            local = banned - shard * rows
+            loc, msk = bucket_banned_ids_device(
+                local, rows, tile, bucket_width
+            )
+            if impl == "pallas":
+                from fashionvisualexpl_tpu.ops.counts import (
+                    streaming_counts_pallas,
+                )
+
+                counts = streaming_counts_pallas(
+                    uf, iv, ib_l, ref_scores=ref_s, banned_local=loc,
+                    banned_valid=msk, item_block=tile,
+                    interpret=interpret,
+                )
+            else:
+                counts = streaming_counts_bucketed(
+                    uf, iv, ib_l, ref_scores=ref_s, banned_local=loc,
+                    banned_valid=msk, item_block=tile,
+                )
         return jax.lax.psum(counts, MODEL_AXIS)
 
     bias_spec = P() if item_bias is None else P(MODEL_AXIS)
@@ -138,7 +181,7 @@ class FactoredEvaluator:
         """counts_impl selects the >=-position-count engine:
 
         - "mask": the original per-block id-mask scan (ops/topk.py
-          streaming_counts) — always used under a mesh (the sharded path).
+          streaming_counts).
         - "bucketed": same scan with banned ids pre-bucketed per item
           block (bucket_banned_ids) — ~2.5x (SPEED.md).
         - "pallas": fused scoring+count kernel, scores never leave VMEM
@@ -146,7 +189,10 @@ class FactoredEvaluator:
         - "auto": pallas on TPU for non-trivial catalogs, else bucketed.
 
         All three produce IDENTICAL counts (pinned in
-        tests/test_factored_eval.py)."""
+        tests/test_factored_eval.py) and all three run under a mesh: the
+        sharded pass re-buckets banned ids per shard in shard-local
+        coordinates (sharded_streaming_counts), so the distributed
+        evaluator rides the same fused kernel as the single-device one."""
         self.model = model
         self.data = data
         self.k = k
@@ -158,11 +204,6 @@ class FactoredEvaluator:
                 f"counts_impl {counts_impl!r} not in "
                 "{'auto', 'mask', 'bucketed', 'pallas'}"
             )
-        if mesh is not None and counts_impl not in ("auto", "mask"):
-            raise ValueError(
-                f"counts_impl {counts_impl!r} is unavailable under a mesh — "
-                "the sharded scan owns its own exclusion (use 'auto'/'mask')"
-            )
         if counts_impl == "auto":
             counts_impl = (
                 "pallas"
@@ -170,11 +211,20 @@ class FactoredEvaluator:
                 and data.num_items >= 16384
                 else "bucketed"
             )
-        if mesh is not None:
-            counts_impl = "mask"  # sharded scan owns its own exclusion
         self.counts_impl = counts_impl
         # best measured fused-kernel tile (SPEED.md eval section)
         self._counts_tile = 2048 if counts_impl == "pallas" else item_block
+        if mesh is not None and counts_impl != "mask":
+            # the sharded scan runs per-shard on rows = padded_I / m; the
+            # canonical padding (parallel/spmd.py pad_rows_to_multiple)
+            # makes that ceil(I / m).  Pinned here so the host width probe
+            # below can bucket in shard-local coordinates; evaluate-time
+            # tables of any other height are rejected loudly.
+            from fashionvisualexpl_tpu.core.mesh import MODEL_AXIS
+
+            m = mesh.shape[MODEL_AXIS]
+            self._mesh_rows = -(-data.num_items // m)
+            self._counts_tile = min(self._counts_tile, self._mesh_rows)
 
         train_padded, train_counts = pad_lists(data.training_list, pad_value=0)
         self._train_items = jnp.asarray(train_padded)
@@ -213,12 +263,32 @@ class FactoredEvaluator:
                 banned_np["val"] = np.concatenate(
                     [tr, masked(val_padded, val_counts)], axis=1
                 )
-            self._bucket_w = {
-                split: banned_bucket_width(
-                    b, data.num_items, self._counts_tile
-                )
-                for split, b in banned_np.items()
-            }
+            if mesh is None:
+                self._bucket_w = {
+                    split: banned_bucket_width(
+                        b, data.num_items, self._counts_tile
+                    )
+                    for split, b in banned_np.items()
+                }
+            else:
+                # sharded engines bucket per shard in SHARD-LOCAL ids, so
+                # the static width must cover every shard: probe each
+                # shard's slice of the banned set (ids shifted into
+                # [0, rows); out-of-shard ids drop, exactly as the device
+                # bucketing will drop them)
+                from fashionvisualexpl_tpu.core.mesh import MODEL_AXIS
+
+                m = mesh.shape[MODEL_AXIS]
+                rows = self._mesh_rows
+                self._bucket_w = {
+                    split: max(
+                        banned_bucket_width(
+                            b - s * rows, rows, self._counts_tile
+                        )
+                        for s in range(m)
+                    )
+                    for split, b in banned_np.items()
+                }
 
         self._block_fn = jax.jit(self._eval_block, static_argnums=(0,))
 
@@ -262,10 +332,31 @@ class FactoredEvaluator:
         )  # [Bu, P+T]
 
         if self.mesh is not None:
-            position_t = sharded_streaming_counts(
-                self.mesh, uf, item_factors, item_bias,
-                s_eval, banned, self.item_block,
-            )
+            if self.counts_impl == "mask":
+                position_t = sharded_streaming_counts(
+                    self.mesh, uf, item_factors, item_bias,
+                    s_eval, banned, self.item_block,
+                )
+            else:
+                rows_m = self._mesh_rows
+                m = self.mesh.shape["model"]
+                if I != rows_m * m:
+                    raise ValueError(
+                        f"sharded {self.counts_impl} counts probed for "
+                        f"{rows_m} rows/shard but the table has {I} rows "
+                        f"over {m} shards — pad with "
+                        "parallel/spmd.py pad_rows_to_multiple"
+                    )
+                position_t = sharded_streaming_counts(
+                    self.mesh, uf, item_factors, item_bias,
+                    s_eval, banned, self._counts_tile,
+                    impl=self.counts_impl,
+                    bucket_width=self._bucket_w[split],
+                    interpret=(
+                        self.counts_impl == "pallas"
+                        and jax.default_backend() != "tpu"
+                    ),
+                )
         elif self.counts_impl in ("pallas", "bucketed"):
             # bucketing runs ON DEVICE inside this jit: host-side buckets
             # would ship [n_blocks, Bu, W] per user block over the

@@ -44,7 +44,8 @@ def _sharded_take(table_shard, ids, axis_name=MODEL_AXIS):
     local = ids - shard * rows
     ok = jnp.logical_and(local >= 0, local < rows)
     vals = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)
-    mask = ok if table_shard.ndim == 1 else ok[..., None]
+    # broadcast over ALL trailing table dims (4-D image tables included)
+    mask = ok.reshape(ok.shape + (1,) * (vals.ndim - ok.ndim))
     return jax.lax.psum(jnp.where(mask, vals, 0.0), axis_name)
 
 

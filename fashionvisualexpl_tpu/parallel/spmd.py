@@ -53,7 +53,10 @@ def collective_take(row_sharded: Tuple[str, ...], axis_name: str = MODEL_AXIS):
         local = ids - shard * rows
         ok = jnp.logical_and(local >= 0, local < rows)
         vals = jnp.take(arr, jnp.where(ok, local, 0), axis=0)
-        mask = ok if arr.ndim == 1 else ok[..., None]
+        # mask broadcasts over ALL trailing table dims (image tables are
+        # 4-D: [rows, H, W, C] — ok[..., None] would align with the wrong
+        # axes there)
+        mask = ok.reshape(ok.shape + (1,) * (vals.ndim - ok.ndim))
         vals = jnp.where(mask, vals, 0.0)
         return jax.lax.psum(vals, axis_name)
 

@@ -141,9 +141,12 @@ def test_counts_kernels_bit_equal_on_ties():
         bucket_banned_ids(banned, I, 256, width=W - 1)
 
 
-def test_distributed_streaming_matches_dense():
+@pytest.mark.parametrize("impl", ["mask", "bucketed", "pallas"])
+def test_distributed_streaming_matches_dense(impl):
     """Items sharded over an 8-way model axis: distributed top-k merge +
-    psum'd counts must reproduce the dense metrics exactly."""
+    psum'd counts must reproduce the dense metrics exactly — on every
+    counts engine (the fast bucketed/pallas engines re-bucket banned ids
+    per shard in shard-local coordinates)."""
     from fashionvisualexpl_tpu.core.mesh import make_mesh
 
     mesh = make_mesh(data=1, model=8)
@@ -152,9 +155,55 @@ def test_distributed_streaming_matches_dense():
     params, frozen = model.init(jax.random.PRNGKey(3))
     dense = Evaluator(model, data, k=10, user_block=16).evaluate(params, frozen)
     distributed = FactoredEvaluator(
-        model, data, k=10, user_block=16, item_block=5, mesh=mesh
+        model, data, k=10, user_block=16, item_block=5, mesh=mesh,
+        counts_impl=impl,
     ).evaluate(params, frozen)
     _assert_same(dense, distributed)
+
+
+@pytest.mark.parametrize("impl", ["bucketed", "pallas"])
+def test_sharded_counts_bit_equal_single_device(impl):
+    """The sharded fast counts engines must be BIT-equal to the
+    single-device pallas/bucketed counts on heavy-tie data (quantized
+    scores): shard-local re-bucketing changes the machinery, never the
+    counts."""
+    import jax.numpy as jnp
+
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+    from fashionvisualexpl_tpu.eval.factored import sharded_streaming_counts
+    from fashionvisualexpl_tpu.ops.topk import (
+        banned_bucket_width,
+        streaming_counts,
+    )
+
+    rng = np.random.default_rng(21)
+    Bu, I, D, T, Pb = 32, 96, 8, 2, 7
+    q = lambda a: jnp.asarray(np.round(a * 4) / 4, jnp.float32)
+    uf = q(rng.normal(size=(Bu, D)))
+    iv = q(rng.normal(size=(I, D)))
+    ib = q(rng.normal(size=(I,)))
+    banned = np.stack(
+        [rng.choice(I, size=Pb, replace=False) for _ in range(Bu)]
+    ).astype(np.int32)
+    banned[0, :2] = -1
+    ref = q(rng.normal(size=(Bu, T)))
+
+    base = streaming_counts(
+        uf, iv, ib, ref_scores=ref, banned_ids=jnp.asarray(banned),
+        item_block=16,
+    )
+    mesh = make_mesh(data=1, model=8)
+    rows = I // 8
+    tile = min(16, rows)
+    W = max(
+        banned_bucket_width(banned - s * rows, rows, tile) for s in range(8)
+    )
+    sharded = sharded_streaming_counts(
+        mesh, uf, iv, ib, ref, jnp.asarray(banned), tile,
+        impl=impl, bucket_width=W,
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(sharded))
 
 
 def test_distributed_store_recommendation_matches_dense(tmp_path):
@@ -235,11 +284,14 @@ def test_counts_impl_validation():
         FactoredEvaluator(model, data, counts_impl="palas")
     from fashionvisualexpl_tpu.core.mesh import make_mesh
 
-    with pytest.raises(ValueError, match="mesh"):
-        FactoredEvaluator(
-            model, data, mesh=make_mesh(data=1, model=8),
-            counts_impl="pallas",
-        )
+    # fast engines are legal under a mesh since round 5 (shard-local
+    # re-bucketing); a mismatched table height must still fail loudly
+    ev = FactoredEvaluator(
+        model, data, mesh=make_mesh(data=1, model=8),
+        counts_impl="pallas",
+    )
+    assert ev.counts_impl == "pallas"
+    assert ev._mesh_rows == 2  # ceil(12 / 8)
 
 
 def test_bucket_device_overflow_signal():

@@ -125,6 +125,45 @@ def test_collective_take_matches_plain_gather():
     np.testing.assert_allclose(got, table[ids])
 
 
+@pytest.mark.parametrize("batch", [4, 8, 16])
+def test_collective_take_4d_image_table(batch):
+    """Regression: the ownership mask must broadcast over ALL trailing
+    table dims.  For a 4-D [rows, H, W, C] image table, ok[..., None]
+    aligned the mask with the W axis instead of the batch axis — silently
+    wrong when batch == W (the round-4 comp_vbpr mesh test geometry), a
+    broadcast error otherwise."""
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(32, 8, 8, 1)).astype(np.float32)
+    ids = rng.integers(0, 32, size=batch).astype(np.int32)
+
+    take = collective_take(("T",))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        lambda t, i: take("T", t, i),
+        mesh=mesh,
+        in_specs=(P("model", None, None, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = np.asarray(fn(jnp.asarray(table), jnp.asarray(ids)))
+    np.testing.assert_array_equal(got, table[ids])
+
+    from fashionvisualexpl_tpu.parallel.fast_spmd import _sharded_take
+
+    fn2 = shard_map(
+        _sharded_take,
+        mesh=mesh,
+        in_specs=(P("model", None, None, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got2 = np.asarray(fn2(jnp.asarray(table), jnp.asarray(ids)))
+    np.testing.assert_array_equal(got2, table[ids])
+
+
 def test_pad_rows():
     a = np.ones((10, 3))
     p = pad_rows_to_multiple(a, 4)

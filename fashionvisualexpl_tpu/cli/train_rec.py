@@ -18,6 +18,17 @@ import os
 import numpy as np
 
 
+def _bool_flag(s: str) -> bool:
+    """Strict 0/1/true/false parser — a typo like 'no' or 'off' must be a
+    loud argparse error, not a silent True."""
+    low = s.lower()
+    if low in ("1", "true"):
+        return True
+    if low in ("0", "false"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected 0/1/true/false, got {s!r}")
+
+
 def build_parser(description="Run train of the Recommender Model."):
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--best_metric", type=str, default="ndcg")
@@ -87,8 +98,7 @@ def build_parser(description="Run train of the Recommender Model."):
                         "(train/streamed.py) — for catalogs whose edge "
                         "stack exceeds HBM.  Builds/loads the single-file "
                         "edges_stack.npy next to the edge tiffs")
-    p.add_argument("--fused_frozen", type=lambda s: s not in ("0", "False", "false"),
-                   default=True,
+    p.add_argument("--fused_frozen", type=_bool_flag, default=True,
                    help="packed path: fold frozen per-item feature columns "
                         "into the packed item rows (halves row gathers per "
                         "step; costs one extra HBM copy of those tables — "
@@ -96,7 +106,8 @@ def build_parser(description="Run train of the Recommender Model."):
     p.add_argument("--train_path", choices=["generic", "packed"],
                    default="generic",
                    help="packed = packed-state rows + LazyAdam "
-                        "(train/packed.py; bprmf/vbpr/grad_fashion) — "
+                        "(train/packed_generic.py; all six registered "
+                        "models, single-device and over the mesh) — "
                         "~2.5x throughput at large table counts")
     p.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
                    default="float32",
@@ -105,9 +116,7 @@ def build_parser(description="Run train of the Recommender Model."):
                         "shrink 3W+1 -> 2W+1 (1/3 less scatter traffic, "
                         "~8-bit moment mantissas); works single-device AND "
                         "over the mesh")
-    p.add_argument("--lazy_catchup",
-                   type=lambda s: s not in ("0", "False", "false"),
-                   default=True,
+    p.add_argument("--lazy_catchup", type=_bool_flag, default=True,
                    help="packed path: apply the closed-form momentum tail "
                         "of skipped steps on touch (dense-Adam-like "
                         "convergence at touched-rows-only cost; "

@@ -143,13 +143,26 @@ def gather_rows_native(src: np.ndarray, ids: np.ndarray,
     """Threaded row gather `src[ids]` for a C-contiguous array or read-only
     np.memmap (the streamed trainer's host hot path — numpy fancy indexing
     copies on ONE thread).  Returns None when the native library is
-    unavailable (caller falls back to `src[ids]`)."""
+    unavailable (caller falls back to `src[ids]`).
+
+    Ids must lie in [0, n_rows): the C side clamps out-of-range ids (never
+    reads wild) while numpy's `src[ids]` wraps negatives and raises on
+    overflow — a caller bug would yield silently DIFFERENT features
+    depending on whether the library loaded, so the range is asserted here
+    before dispatch and both paths agree (invalid ids always raise)."""
+    ids = np.ascontiguousarray(ids, np.int32)
+    if ids.size and (
+        int(ids.min()) < 0 or int(ids.max()) >= src.shape[0]
+    ):
+        raise IndexError(
+            f"gather ids outside [0, {src.shape[0]}): "
+            f"min={int(ids.min())} max={int(ids.max())}"
+        )
     lib = load_library()
     if lib is None:
         return None
     if not (isinstance(src, np.ndarray) and src.flags["C_CONTIGUOUS"]):
         return None
-    ids = np.ascontiguousarray(ids, np.int32)
     row_shape = src.shape[1:]
     row_bytes = int(np.prod(row_shape, dtype=np.int64)) * src.itemsize
     if out is None:

@@ -147,7 +147,12 @@ def fit_streamed(
                 store.gather(pos[s], neg[s]),
             )
 
-        losses = []
+        # a single device-side accumulator: appending every per-step loss
+        # and jnp.stack-ing would dispatch an N-operand program, pin N
+        # device scalars per epoch, and recompile whenever the step count
+        # changes (advisor, round 4)
+        total_dev = jnp.float32(0.0)
+        n_steps = 0
         t0 = time.time()
         for s, (u, p, n, feats) in HostPrefetcher(
             batches(), gather, depth=prefetch_depth
@@ -160,8 +165,9 @@ def fit_streamed(
             # keep the loss ON DEVICE: a float() here would sync every
             # step (one ~29ms tunnel RTT each on remote-TPU hosts) and
             # stall the prefetch pipeline — fetch ONCE per epoch below
-            losses.append(loss)
-        total = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            total_dev = total_dev + loss
+            n_steps += 1
+        total = float(total_dev) if n_steps else 0.0
         train_time = time.time() - t0
 
         eval_time = 0.0

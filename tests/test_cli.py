@@ -121,6 +121,33 @@ def test_cli_comp_vbpr_ablated(dataset_dir):
     assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
 
 
+def test_cli_packed_resume_matches_uninterrupted(dataset_dir):
+    """--train_path packed --resume end-to-end: the CLI fast defaults
+    (packed rows + lazy_catchup) interrupted at epoch 2 and resumed to 4
+    must dump byte-identical final recommendations to an uninterrupted
+    4-epoch run.  verbose=2 puts a checkpoint at the interruption point."""
+    import shutil
+
+    root = dataset_dir
+    common = [
+        "--train_path", "packed", "--verbose", "2",
+        "--results_root", os.path.join(root, "results_resume"),
+    ]
+    # uninterrupted 4 epochs
+    _run(root, "vbpr", extra=common + ["--epochs", "4"])
+    rdir = os.path.join(root, "results_resume", "rec_results", "synthetic",
+                        "vbpr")
+    full = open(glob.glob(os.path.join(rdir, "recs-4-*.tsv"))[0]).read()
+    shutil.rmtree(os.path.join(root, "results_resume"))
+
+    # interrupted at 2, resumed to 4
+    _run(root, "vbpr", extra=common + ["--epochs", "2"])
+    _run(root, "vbpr", extra=common + ["--epochs", "4", "--resume"])
+    resumed = open(glob.glob(os.path.join(rdir, "recs-4-*.tsv"))[0]).read()
+    assert resumed == full
+    shutil.rmtree(os.path.join(root, "results_resume"))
+
+
 def test_cli_serve_from_checkpoint(dataset_dir):
     """train (with checkpointing) -> serve_rec restores best params and
     answers queries in the store_recommendation TSV format."""

@@ -109,13 +109,16 @@ def build_parser(description="Run train of the Recommender Model."):
                         "(train/packed_generic.py; all six registered "
                         "models, single-device and over the mesh) — "
                         "~2.5x throughput at large table counts")
-    p.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+    p.add_argument("--moment_dtype",
+                   choices=["float32", "bfloat16", "float8"],
                    default="float32",
                    help="packed path: Adam moment storage.  bfloat16 packs "
                         "m,v as two bf16 halves of one fp32 column — rows "
                         "shrink 3W+1 -> 2W+1 (1/3 less scatter traffic, "
                         "~8-bit moment mantissas); works single-device AND "
-                        "over the mesh")
+                        "over the mesh.  float8 packs m and sqrt(v) as four "
+                        "e5m2 codes per column — rows shrink to ~1.5W+1 "
+                        "(~2-bit moment mantissas); single-device only")
     p.add_argument("--lazy_catchup", type=_bool_flag, default=True,
                    help="packed path: apply the closed-form momentum tail "
                         "of skipped steps on touch (dense-Adam-like "
@@ -183,6 +186,12 @@ def validate_args(args):
                 "--streamed is single-device (the host prefetcher feeds one "
                 "chip); drop --mesh_data/--mesh_model"
             )
+    if args.moment_dtype == "float8" and args.mesh_data * args.mesh_model > 1:
+        errors.append(
+            "--moment_dtype float8 is single-device only (the sharded "
+            "packed engine's column groups assume a uniform per-column "
+            "moment width) — use bfloat16 over the mesh"
+        )
     if args.rec == "comp_vbpr":
         if len(args.activated_components) != 4:
             errors.append(

@@ -77,12 +77,47 @@ def _offsets(tables):
 
 def _moment_cols(moment_dtype) -> int:
     """Columns per logical parameter column: 3 ([p|m|v] fp32) or 2
-    ([p|mv] with m,v bit-packed as two bf16 halves of one fp32 column)."""
+    ([p|mv] with m,v bit-packed as two bf16 halves of one fp32 column).
+    float8 moments have no uniform per-column width (4 codes share one
+    fp32 column) — engines built on this helper (the sharded fast path)
+    reject it explicitly."""
     if moment_dtype in ("float32", jnp.float32, None):
         return 3
     if moment_dtype in ("bfloat16", jnp.bfloat16):
         return 2
-    raise ValueError(f"moment_dtype {moment_dtype!r} not float32/bfloat16")
+    if moment_dtype == "float8":
+        raise ValueError(
+            "moment_dtype 'float8' is single-device only (the sharded "
+            "packed engine's column groups assume a uniform per-column "
+            "moment width) — use 'bfloat16' over a mesh"
+        )
+    raise ValueError(
+        f"moment_dtype {moment_dtype!r} not float32/bfloat16/float8"
+    )
+
+
+def _mom_width(moment_dtype, w: int) -> int:
+    """Moment-block columns for a `w`-wide parameter block: fp32 stores
+    [m|v] (2w), bf16 one packed mv column per parameter column (w), fp8
+    four e5m2 codes (m,v for TWO parameter columns) per fp32 column
+    (ceil(w/2))."""
+    if moment_dtype in ("float32", jnp.float32, None):
+        return 2 * w
+    if moment_dtype in ("bfloat16", jnp.bfloat16):
+        return w
+    if moment_dtype == "float8":
+        return (w + 1) // 2
+    raise ValueError(
+        f"moment_dtype {moment_dtype!r} not float32/bfloat16/float8"
+    )
+
+
+def _scalar_group(moment_dtype) -> int:
+    """Columns per item-scalar group.  fp32: [p|m|v].  bf16 AND fp8:
+    [p|mv] with the bf16 pair packing — a lone scalar cannot fill a 4-code
+    fp8 column, and nS is tiny (<= 1 in every registered model), so fp8
+    rows keep their scalars at bf16 precision."""
+    return 3 if moment_dtype in ("float32", jnp.float32, None) else 2
 
 
 def _mv_pack(m: jax.Array, v: jax.Array) -> jax.Array:
@@ -109,6 +144,70 @@ def _mv_unpack(col: jax.Array) -> Tuple[jax.Array, jax.Array]:
         bits.astype(jnp.uint16), jnp.bfloat16
     ).astype(jnp.float32)
     return m, v
+
+
+# static pre-scale moving fp8-stored moments away from e5m2's subnormal
+# floor (2^-16): m ~ lr-scale gradients (1e-4-ish) and sqrt(v) ~ |g| both
+# land in e5m2's NORMAL range after *256, where relative error is a flat
+# ~6-12% (2 mantissa bits) instead of degrading to 50%+ near the floor
+_FP8_SCALE = 256.0
+
+
+def _mv_pack_fp8(m: jax.Array, v: jax.Array) -> jax.Array:
+    """(m, v) fp32 [S, W] -> [S, ceil(W/2)] fp32 columns of 4 e5m2 codes
+    (m0,v0,m1,v1 per column; odd W pads a zero pair).
+
+    v is stored as sqrt(v): it halves the exponent range the 5-bit
+    exponent must span (v ~ g^2 reaches 1e-10 while sqrt stays ~1e-5) and
+    the consumer needs sqrt(v_hat) anyway.  Zero bits decode to (0, 0) —
+    pack_generic_state's zero-init needs no special casing."""
+    S, W = m.shape
+    if W % 2:
+        m = jnp.pad(m, ((0, 0), (0, 1)))
+        v = jnp.pad(v, ((0, 0), (0, 1)))
+    enc = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+        (x * _FP8_SCALE).astype(jnp.float8_e5m2), jnp.uint8
+    ).astype(jnp.uint32)
+    mb = enc(m)
+    vb = enc(jnp.sqrt(v))
+    quad = (
+        (mb[:, 0::2] << 24) | (vb[:, 0::2] << 16)
+        | (mb[:, 1::2] << 8) | vb[:, 1::2]
+    )
+    return jax.lax.bitcast_convert_type(quad, jnp.float32)
+
+
+def _mv_unpack_fp8(cols: jax.Array, w: int) -> Tuple[jax.Array, jax.Array]:
+    """Inverse of _mv_pack_fp8: [S, ceil(w/2)] -> (m [S, w], v [S, w])."""
+    bits = jax.lax.bitcast_convert_type(cols, jnp.uint32)
+    dec = lambda u: jax.lax.bitcast_convert_type(  # noqa: E731
+        u.astype(jnp.uint8), jnp.float8_e5m2
+    ).astype(jnp.float32) / _FP8_SCALE
+    S, H = bits.shape
+    m = jnp.stack([dec(bits >> 24), dec(bits >> 8)], axis=2).reshape(S, 2 * H)
+    s = jnp.stack([dec(bits >> 16), dec(bits)], axis=2).reshape(S, 2 * H)
+    return m[:, :w], jnp.square(s[:, :w])
+
+
+def _lazy_rows_fp8(rows, g, dt, t, lr, catchup: bool = False):
+    """LazyAdam on gathered packed rows with fp8-packed moments:
+    rows [S, K + ceil(K/2)] as p|mv8 column groups, g [S, K].  Moment math
+    runs fp32; storage rounds m and sqrt(v) to e5m2 — HALF the bf16
+    moment bytes at ~2 mantissa bits."""
+    from fashionvisualexpl_tpu.train.fast import B1, B2, EPS
+    from fashionvisualexpl_tpu.train.packed import _momentum_catchup
+
+    K = g.shape[1]
+    p = rows[:, :K]
+    m, v = _mv_unpack_fp8(rows[:, K:], K)
+    if catchup:
+        p = _momentum_catchup(p, m, v, dt, t, lr)
+    m = m * jnp.power(B1, dt) + (1.0 - B1) * g
+    v = v * jnp.power(B2, dt) + (1.0 - B2) * jnp.square(g)
+    m_hat = m / (1.0 - B1 ** t)
+    v_hat = v / (1.0 - B2 ** t)
+    p = p - lr * m_hat / (jnp.sqrt(v_hat) + EPS)
+    return jnp.concatenate([p, _mv_pack_fp8(m, v)], axis=1)
 
 
 def _lazy_rows_bf16(rows, g, dt, t, lr, catchup: bool = False):
@@ -145,25 +244,28 @@ def pack_generic_state(model, params, frozen=None,
     [p | mv | scalar (p, mv) pairs | frozen | tau]) — the row shrinks from
     3W+1 to 2W+1 columns, cutting the bytes-bound scatter traffic by ~1/3
     at ~8-bit moment mantissas (zero bits decode to (0, 0), so zero-init
-    needs no special casing)."""
+    needs no special casing).  ``moment_dtype='float8'`` packs m and
+    sqrt(v) as e5m2 codes, FOUR per fp32 column — rows shrink further to
+    W + ceil(W/2) + gs*nS + 1 (~25% below bf16 at large W) at ~2-bit
+    moment mantissas; single-device only."""
     spec: PackedSpec = model.packed_spec()
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
-    mw = _moment_cols(moment_dtype)
+    gs = _scalar_group(moment_dtype)
     U = params[spec.user_tables[0][0]].shape[0]
     I = params[spec.item_tables[0][0]].shape[0]
     dtype = params[spec.user_tables[0][0]].dtype
 
     user = jnp.concatenate(
         [params[n] for n, _, _ in u_offs]
-        + [jnp.zeros((U, (mw - 1) * Wu + 1), dtype)],  # m, v (packed), tau
+        + [jnp.zeros((U, _mom_width(moment_dtype, Wu) + 1), dtype)],
         axis=1,
-    )
+    )  # m, v (packed) + tau
     parts = [params[n] for n, _, _ in i_offs] + [
-        jnp.zeros((I, (mw - 1) * Wi), dtype)
+        jnp.zeros((I, _mom_width(moment_dtype, Wi)), dtype)
     ]
     for s in spec.item_scalars:
-        parts += [params[s][:, None], jnp.zeros((I, mw - 1), dtype)]
+        parts += [params[s][:, None], jnp.zeros((I, gs - 1), dtype)]
     if frozen is not None:
         for name, w in spec.frozen_item_tables:
             col = jnp.asarray(frozen[name]).reshape(I, -1).astype(dtype)
@@ -188,18 +290,31 @@ def pack_generic_state(model, params, frozen=None,
 def unpack_generic_params(state: GenericPackedState, spec: PackedSpec):
     """Standard params dict from the packed state (slice views + dense p —
     amortized over an epoch/eval, never used inside the step).  The moment
-    layout (fp32 triples vs bf16-packed pairs) is inferred from the user
-    row width: mw*Wu + 1 with mw in {2, 3}."""
+    layout (fp32 triples / bf16 pairs / fp8 quads) is inferred from the
+    user row width Wu + mom_width + 1."""
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
-    mw = (state.user_pmv.shape[1] - 1) // Wu
+    mc = state.user_pmv.shape[1] - 1 - Wu
+    if mc == 2 * Wu:
+        md = "float32"
+    elif mc == Wu:
+        md = "bfloat16"
+    elif mc == (Wu + 1) // 2:
+        md = "float8"
+    else:
+        raise ValueError(
+            f"user row width {state.user_pmv.shape[1]} does not match any "
+            f"moment layout for Wu={Wu}"
+        )
+    gs = _scalar_group(md)
+    sc0 = Wi + _mom_width(md, Wi)
     params = {}
     for n, off, w in u_offs:
         params[n] = state.user_pmv[:, off:off + w]
     for n, off, w in i_offs:
         params[n] = state.item_pmv[:, off:off + w]
     for j, s in enumerate(spec.item_scalars):
-        params[s] = state.item_pmv[:, mw * Wi + mw * j]
+        params[s] = state.item_pmv[:, sc0 + gs * j]
     for name, (p, _, _) in state.dense.items():
         params[name] = p
     return params
@@ -223,10 +338,17 @@ def make_generic_packed_step(
     nS = len(spec.item_scalars)
     E = spec.extra_items
     f_offs, _ = _offsets(spec.frozen_item_tables)
-    mw = _moment_cols(moment_dtype)
-    _rows_fn = _lazy_rows if mw == 3 else _lazy_rows_bf16
+    _rows_fn = {
+        3: _lazy_rows, 2: _lazy_rows_bf16, 1: _lazy_rows_fp8,
+    }[3 if moment_dtype in ("float32", None) else
+      (2 if moment_dtype == "bfloat16" else 1)]
     lazy_rows = functools.partial(_rows_fn, catchup=lazy_catchup)
-    F0 = mw * Wi + mw * nS  # frozen columns start here
+    # fp8 scalars keep the bf16 pair layout (see _scalar_group)
+    _sc_fn = _lazy_rows_bf16 if moment_dtype == "float8" else _rows_fn
+    lazy_scalar_rows = functools.partial(_sc_fn, catchup=lazy_catchup)
+    gs = _scalar_group(moment_dtype)
+    sc0 = Wi + _mom_width(moment_dtype, Wi)  # scalar groups start here
+    F0 = sc0 + gs * nS  # frozen columns start here
     fused_frozen = bool(fused_frozen and spec.frozen_item_tables)
 
     def step(state: GenericPackedState, batch):
@@ -242,7 +364,7 @@ def make_generic_packed_step(
         pos_vw = {n: IR[:B, off:off + w] for n, off, w in i_offs}
         neg_vw = {n: IR[B:, off:off + w] for n, off, w in i_offs}
         for j, s in enumerate(spec.item_scalars):
-            col = mw * Wi + mw * j
+            col = sc0 + gs * j
             pos_vw[s] = IR[:B, col]
             neg_vw[s] = IR[B:, col]
         dense_p = {name: state.dense[name][0] for name in spec.dense}
@@ -260,7 +382,7 @@ def make_generic_packed_step(
                 for n, off, w in i_offs
             }
             for j, s in enumerate(spec.item_scalars):
-                extra_vw[s] = XR[:, mw * Wi + mw * j].reshape(B, E)
+                extra_vw[s] = XR[:, sc0 + gs * j].reshape(B, E)
             ii = jnp.concatenate([p_ids, n_ids, xids])
         else:
             extra_vw = None
@@ -336,18 +458,20 @@ def make_generic_packed_step(
         iids, cgi = compact_row_grads(
             ii, jnp.concatenate(gi_parts, axis=1), 2 * B + B * E
         )
-        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, mw*(Wi+nS)(+F)+1]
+        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, sc0+gs*nS(+F)+1]
         dt = (t - rows[:, -1])[:, None]
-        emb = lazy_rows(rows[:, : mw * Wi], cgi[:, :Wi], dt, t, lr)
+        emb = lazy_rows(rows[:, :sc0], cgi[:, :Wi], dt, t, lr)
         # frozen cols (when fused) pass through unchanged; tau col refreshed
         tail = [rows[:, F0:-1]] if fused_frozen else []
         tau_col = jnp.full((rows.shape[0], 1), t, rows.dtype)
         if nS:
             S = rows.shape[0]
-            sc_rows = rows[:, mw * Wi:F0].reshape(S * nS, mw)
+            sc_rows = rows[:, sc0:F0].reshape(S * nS, gs)
             sc_g = cgi[:, Wi:].reshape(S * nS, 1)
             sc_dt = jnp.repeat(dt, nS, axis=0)
-            sc = lazy_rows(sc_rows, sc_g, sc_dt, t, lr).reshape(S, mw * nS)
+            sc = lazy_scalar_rows(sc_rows, sc_g, sc_dt, t, lr).reshape(
+                S, gs * nS
+            )
             new_rows = jnp.concatenate([emb, sc] + tail + [tau_col], axis=1)
         else:
             new_rows = jnp.concatenate([emb] + tail + [tau_col], axis=1)

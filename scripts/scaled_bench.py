@@ -82,7 +82,8 @@ def main():
                     help="attentive_fashion conv->pool->GAP tower impl "
                          "(ops/edge_tower.py fused Pallas kernel vs inline "
                          "XLA vs ops/s2d_conv.py space-to-depth)")
-    ap.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+    ap.add_argument("--moment_dtype",
+                    choices=["float32", "bfloat16", "float8"],
                     default="float32",
                     help="packed generic engine: Adam moment storage "
                          "(bfloat16 = m,v bit-packed into one fp32 column "

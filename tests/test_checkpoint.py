@@ -60,7 +60,7 @@ def test_roundtrip_and_resume_equivalence(tmp_path):
     mgr.close()
 
 
-@pytest.mark.parametrize("moment_dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("moment_dtype", ["float32", "bfloat16", "float8"])
 def test_packed_roundtrip_and_resume_equivalence(tmp_path, moment_dtype):
     """Resume-equivalence for the DEFAULT fast training configuration:
     train_path='packed' with lazy_catchup=True (the CLI default) and both

@@ -133,6 +133,121 @@ def test_bf16_moments_with_fused_frozen():
     )
 
 
+def test_mv_pack_fp8_roundtrip():
+    """fp8 quad packing: m and sqrt(v) as e5m2 codes (x256 pre-scale),
+    four per fp32 column, odd widths padded."""
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        _mv_pack_fp8,
+        _mv_unpack_fp8,
+    )
+
+    rng = np.random.default_rng(0)
+    for W in (7, 8):
+        m = jnp.asarray((rng.normal(size=(5, W)) * 1e-3).astype(np.float32))
+        v = jnp.asarray((rng.random((5, W)) * 1e-6).astype(np.float32))
+        cols = _mv_pack_fp8(m, v)
+        assert cols.shape == (5, (W + 1) // 2)
+        m2, v2 = _mv_unpack_fp8(cols, W)
+        # e5m2 keeps 2 mantissa bits -> rel error <= 2^-3 on m and sqrt(v)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m), rtol=0.13)
+        np.testing.assert_allclose(
+            np.sqrt(np.asarray(v2)), np.sqrt(np.asarray(v)), rtol=0.13
+        )
+    # zero bits decode to exact (0, 0) — pack_generic_state zero-init
+    m0, v0 = _mv_unpack_fp8(jnp.zeros((3, 2), jnp.float32), 4)
+    np.testing.assert_array_equal(np.asarray(m0), 0.0)
+    np.testing.assert_array_equal(np.asarray(v0), 0.0)
+    # exactly-representable values roundtrip bit-exactly
+    me = jnp.asarray([[0.25, -0.5, 2.0, 0.0]], jnp.float32)
+    ve = jnp.asarray([[1.0, 0.0625, 4.0, 0.0]], jnp.float32)
+    m3, v3 = _mv_unpack_fp8(_mv_pack_fp8(me, ve), 4)
+    np.testing.assert_array_equal(np.asarray(m3), np.asarray(me))
+    np.testing.assert_array_equal(np.asarray(v3), np.asarray(ve))
+
+
+def test_fp8_moments_track_fp32_vbpr():
+    """fp8-moment training must follow the fp32 trajectory (loosely: ~2-bit
+    moment mantissas) and the rows must take the 1.5W layout."""
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    feats = synthetic_features(30, 12, seed=1)
+    model = VBPR(24, 30, feats, embed_k=8, embed_d=4)
+    _, frozen = model.init(jax.random.PRNGKey(1))
+
+    s32, l32 = _run_engine(model, data, frozen, "float32")
+    s8, l8 = _run_engine(model, data, frozen, "float8")
+    spec = model.packed_spec()
+    Wu = sum(w for _, w in spec.user_tables)
+    Wi = sum(w for _, w in spec.item_tables)
+    assert s8.user_pmv.shape[1] == Wu + (Wu + 1) // 2 + 1
+    assert s8.item_pmv.shape[1] == Wi + (Wi + 1) // 2 + 2 + 1
+    assert l8[-1] < l8[0], "fp8-moment training diverged"
+    for a, b in zip(l8, l32):
+        np.testing.assert_allclose(a, b, rtol=0.05)
+    p32 = unpack_generic_params(s32, spec)
+    p8 = unpack_generic_params(s8, spec)
+    for name in ("Gu", "Tu", "Gi", "Bi", "E", "Bp"):
+        a, b = np.asarray(p8[name]), np.asarray(p32[name])
+        assert np.abs(a - b).max() < 0.1, name  # lr=0.01, 27 steps
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995, name
+
+
+def test_fp8_moments_acf_extra_items():
+    """The target workload: ACF's extra-item-rows path (per-triple positive
+    -set gathers) on fp8 moments — must train and track fp32."""
+    from fashionvisualexpl_tpu.models.acf import ACF
+
+    data = synthetic_interactions(20, 24, interactions_per_user=6, seed=2)
+    rng = np.random.default_rng(3)
+    spat = rng.normal(size=(24, 3, 5)).astype(np.float32)
+    model = ACF(20, 24, spat, data, embed_k=8,
+                layers_component=(4, 1), layers_item=(4, 1), max_user_pos=4)
+    _, frozen = model.init(jax.random.PRNGKey(2))
+    _, l32 = _run_engine(model, data, frozen, "float32")
+    _, l8 = _run_engine(model, data, frozen, "float8")
+    assert l8[-1] < l8[0]
+    for a, b in zip(l8, l32):
+        np.testing.assert_allclose(a, b, rtol=0.05)
+
+
+def test_fp8_moments_with_fused_frozen():
+    """Fused frozen columns must sit at the fp8 layout's F0 and pass
+    through unchanged."""
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    feats = synthetic_features(30, 12, seed=1)
+    model = VBPR(24, 30, feats, embed_k=8, embed_d=4)
+    _, frozen = model.init(jax.random.PRNGKey(1))
+    s_plain, l_plain = _run_engine(model, data, frozen, "float8")
+    s_fused, l_fused = _run_engine(model, data, frozen, "float8",
+                                   fused_frozen=True)
+    np.testing.assert_allclose(l_fused, l_plain, rtol=1e-6)
+    spec = model.packed_spec()
+    Wi = sum(w for _, w in spec.item_tables)
+    F0 = Wi + (Wi + 1) // 2 + 2 * len(spec.item_scalars)
+    np.testing.assert_array_equal(
+        np.asarray(s_fused.item_pmv[:, F0:-1]),
+        np.asarray(frozen["F"], np.float32),
+    )
+
+
+def test_fp8_rejected_by_sharded_engine():
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_generic_packed_spmd_epoch_fn,
+    )
+
+    model = BPRMF(24, 32, embed_k=8)
+    mesh = make_mesh(data=4, model=2)
+    with pytest.raises(ValueError, match="single-device only"):
+        make_generic_packed_spmd_epoch_fn(
+            model, mesh, 0.01, 0.01, 32, 2, 16, moment_dtype="float8"
+        )
+
+
 def test_trainer_moment_dtype():
     """fit() honors TrainConfig.moment_dtype on BOTH the single-device and
     the sharded packed paths (8-device virtual mesh)."""

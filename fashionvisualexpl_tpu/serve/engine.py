@@ -98,6 +98,7 @@ class RecServer:
         mesh=None,
         segmax_kernel: Optional[str] = None,
         stage1_dtype: str = "bf16",
+        segmax_transposed: Optional[bool] = None,
     ):
         self._superseg = superseg
         # stage-1 scoring precision: "bf16" (default — candidate displacement
@@ -117,6 +118,11 @@ class RecServer:
                 "on" if jax.devices()[0].platform == "tpu" else "off"
             )
         self._segmax_kernel = segmax_kernel
+        # [B, S]-major kernel output (per-tile VMEM transpose) so the
+        # downstream approx_max_k pays no relayout; None = auto (small
+        # batches, where the round-4 xplane showed 1.11ms of the 4.0ms
+        # B=8 device cost in the [S, B]-major top-k)
+        self._segmax_transposed = segmax_transposed
         self.model = model
         self.data = data
         self.k = k
@@ -321,9 +327,15 @@ class RecServer:
             if Ip % ti == 0:
                 from fashionvisualexpl_tpu.ops.segmax import segmax_scores
 
+                transposed = self._segmax_transposed
+                if transposed is None:
+                    # measured: the in-VMEM tile transpose wins at small B
+                    # (see SPEED.md round-5 serving section)
+                    transposed = uf.shape[0] <= 256
                 segmax = segmax_scores(
                     uf.astype(jnp.bfloat16), index["iv_cand"],
                     index["ib_cand"], seg, item_tile=ti, interpret=interp,
+                    transposed_out=transposed,
                 )
                 return self._ids_from_segments(segmax, seg, I, item_offset)
 

@@ -323,6 +323,26 @@ def test_hierarchical_segment_selection_matches_oracle():
     np.testing.assert_allclose(vals, oracle_vals, rtol=1e-5, atol=1e-5)
 
 
+def test_segmax_transposed_out_bit_equal():
+    """The [B, S]-major output mode (in-VMEM tile transpose) must be
+    BIT-equal to the [S, B]-major mode's logical transpose."""
+    import jax
+    import jax.numpy as jnp
+
+    from fashionvisualexpl_tpu.ops.segmax import segmax_scores
+
+    rng = np.random.default_rng(0)
+    B, Ip, D, seg = 16, 256, 8, 8
+    uf = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    iv = jnp.asarray(rng.normal(size=(Ip, D)).astype(np.float32))
+    ib = jnp.asarray(rng.normal(size=(Ip,)).astype(np.float32))
+    interp = jax.default_backend() != "tpu"
+    a = segmax_scores(uf, iv, ib, seg, item_tile=64, interpret=interp)
+    b = segmax_scores(uf, iv, ib, seg, item_tile=64, interpret=interp,
+                      transposed_out=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_segmax_kernel_interpret_matches_scan():
     """The fused Pallas stage-1 kernel (interpret mode on CPU) must serve
     identical results to the XLA scan path."""

@@ -119,6 +119,14 @@ def build_parser(description="Run train of the Recommender Model."):
                         "over the mesh.  float8 packs m and sqrt(v) as four "
                         "e5m2 codes per column — rows shrink to ~1.5W+1 "
                         "(~2-bit moment mantissas); single-device only")
+    p.add_argument("--row_align", type=int, default=1,
+                   help="packed path capacity mode: pad packed-row widths "
+                        "to this multiple (128 = TPU lane tile).  Trades "
+                        "resident dead columns for eliminating XLA's "
+                        "1.5x padded transient table copies at the epoch "
+                        "scan boundary — peak HBM drops from ~2.5x to "
+                        "~1.5x of the logical table (use for catalogs "
+                        "near the HBM ceiling; 1 = off)")
     p.add_argument("--lazy_catchup", type=_bool_flag, default=True,
                    help="packed path: apply the closed-form momentum tail "
                         "of skipped steps on touch (dense-Adam-like "
@@ -353,6 +361,7 @@ def train(argv=None):
             train_path=args.train_path, bootstrap=args.bootstrap,
             sampling=args.sampling, fused_frozen=args.fused_frozen,
             moment_dtype=args.moment_dtype, lazy_catchup=args.lazy_catchup,
+            row_align=args.row_align,
         )
         data = Interactions.load(cfg)
 

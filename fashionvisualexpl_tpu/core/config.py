@@ -198,6 +198,14 @@ class TrainConfig:
     # (throughput-free, SPEED.md).  Default ON since round 4; the raw
     # engine functions default OFF to keep plain-LazyAdam pins unchanged.
     lazy_catchup: bool = True
+    # packed path: pad packed-row widths to this multiple (capacity mode).
+    # TPU tiled layouts pad the lane dim to 128 anyway, and XLA
+    # materializes a fully PADDED transient copy of each whole table at
+    # the epoch scan boundary — explicit 128-alignment makes that padding
+    # resident instead, cutting peak HBM from ~2.5x to ~1.5x of the
+    # logical table (SPEED.md round-5 capacity ladder).  1 = off (default:
+    # smaller resident tables, best throughput at sizes that fit).
+    row_align: int = 1
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

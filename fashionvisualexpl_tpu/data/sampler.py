@@ -98,16 +98,22 @@ def sample_triplets(
         if n == U * Pw:
             # Uniform positive counts — provable from STATIC shapes alone
             # (sum(counts) == U * max(counts) forces every count == max).
-            # Shuffle whole user RUNS instead of individual pairs: a [U]
-            # superrow gather replaces the [n] pair gather (Pw-fold fewer
-            # row accesses; the row-access floor is ~19ns/row, SPEED.md),
-            # and the negative-sampler's padded_pos/count rows are
-            # gathered ONCE per user and expanded contiguously.  Ordering
-            # and PRNG draws are IDENTICAL to the generic path below —
-            # same perm, same visit order, same neg key/shapes.
-            pairs_s = jnp.take(
-                train_pairs.reshape(U, Pw * 2), perm, axis=0
-            ).reshape(U * Pw, 2)[:take]
+            # Shuffle whole user RUNS instead of individual pairs: the
+            # U-element permutation replaces the n-element one (18x less
+            # sort work at the reference workload), and the negative-
+            # sampler's padded_pos/count rows are gathered ONCE per user
+            # and expanded contiguously.  The pair rows themselves gather
+            # by EXPANDED run indices — an earlier `reshape(U, Pw*2)`
+            # run-gather materialized a (8,128)-tiled copy of the whole
+            # [n, 2] array (the 2-wide lane dim pads 64x: 10.7GB at the
+            # 1M x 500k config, the capacity wall the round-5 ladder hit).
+            # Ordering and PRNG draws are IDENTICAL to the generic path
+            # below — same perm, same visit order, same neg key/shapes.
+            idx_u = (
+                perm[:, None] * Pw
+                + jnp.arange(Pw, dtype=perm.dtype)[None, :]
+            ).reshape(U * Pw)[:take]
+            pairs_s = jnp.take(train_pairs, idx_u, axis=0)  # [take, 2]
             users = pairs_s[:, 0]
             pos = pairs_s[:, 1]
             rows_u = jnp.take(padded_pos, perm, axis=0)  # [U, Pw], once/user

@@ -265,26 +265,31 @@ def _sharded_packed_lazy_apply(pmv, tau, uids, g, lr, t, k_groups,
 
 def _sharded_packed_lazy_apply_taucol(pmv, uids, g, lr, t, k_groups,
                                       axis_name=MODEL_AXIS,
-                                      rows_fn=None, mw: int = 3):
+                                      rows_fn=None, mw: int = 3,
+                                      tau_ix: int = -1):
     """Like _sharded_packed_lazy_apply, for rows carrying their LazyAdam
-    timestamp as the FINAL fp32 column (the generic engine's layout,
+    timestamp as a trailing fp32 column (the generic engine's layout,
     train/packed_generic.py): the tau read rides the owned-row gather and
     the tau refresh rides the row scatter — no 1D tau arrays or ops.
 
     ``rows_fn``/``mw`` select the moment layout: default fp32 [p|m|v]
     triples (mw=3, train/packed.py::_lazy_rows); the generic engine passes
-    the bf16-packed variant (mw=2) and/or the momentum catch-up partial."""
+    the bf16-packed variant (mw=2) and/or the momentum catch-up partial.
+    ``tau_ix`` is the tau column (default: last); columns after it are
+    row_align pads that pass through unchanged."""
     if rows_fn is None:
         from fashionvisualexpl_tpu.train.packed import _lazy_rows as rows_fn
 
     shard = jax.lax.axis_index(axis_name)
     rows = pmv.shape[0]
+    if tau_ix < 0:
+        tau_ix = pmv.shape[1] + tau_ix
     local = uids - shard * rows
     ok = jnp.logical_and(local >= 0, local < rows)
     safe_read = jnp.where(ok, local, 0)
     safe_write = jnp.where(ok, local, rows)  # out-of-range => dropped
     old = jnp.take(pmv, safe_read, axis=0)
-    dt = (t - old[:, -1])[:, None]
+    dt = (t - old[:, tau_ix])[:, None]
     parts = []
     for pmv_off, g_off, width in k_groups:
         parts.append(rows_fn(
@@ -292,6 +297,7 @@ def _sharded_packed_lazy_apply_taucol(pmv, uids, g, lr, t, k_groups,
             g[:, g_off:g_off + width], dt, t, lr,
         ))
     parts.append(jnp.full((old.shape[0], 1), t, old.dtype))  # tau col
+    parts.append(old[:, tau_ix + 1:])  # alignment pads pass through
     new = jnp.concatenate(parts, axis=1)
     return pmv.at[safe_write].set(new, unique_indices=True)
 
@@ -569,12 +575,12 @@ def make_generic_packed_spmd_epoch_fn(
         uids, cg = compact_row_grads(u_all, gu_all, B)
         user_pmv = _sharded_packed_lazy_apply_taucol(
             state.user_pmv, uids, cg, lr, t, [(0, 0, Wu)],
-            rows_fn=rows_fn, mw=mw,
+            rows_fn=rows_fn, mw=mw, tau_ix=mw * Wu,
         )
         iids, cgi = compact_row_grads(ii_all, gi_all, (2 + E) * B)
         item_pmv = _sharded_packed_lazy_apply_taucol(
             state.item_pmv, iids, cgi, lr, t, item_groups,
-            rows_fn=rows_fn, mw=mw,
+            rows_fn=rows_fn, mw=mw, tau_ix=mw * (Wi + nS),
         )
 
         dense = {}

@@ -231,8 +231,26 @@ def _lazy_rows_bf16(rows, g, dt, t, lr, catchup: bool = False):
     return jnp.concatenate([p, _mv_pack(m, v)], axis=1)
 
 
+def _row_pad(width: int, row_align: int) -> int:
+    """Dead trailing columns to make a packed-row width a multiple of
+    ``row_align``.  TPU tiled layouts pad the lane dim to 128: a 257-col
+    row occupies 384 lanes, and XLA materializes a full PADDED copy of
+    the whole table at the epoch scan's boundary (measured: [400k, 257]
+    table -> 0.615GB transient vs ZERO at width 256) — at the capacity
+    frontier that transient is a 1.5x HBM tax.  Padding the row
+    explicitly costs the same per-row bytes RESIDENT but removes the
+    transient, cutting peak HBM from ~2.5x to ~1.5x of the logical table
+    — the difference between ~5.5M and ~9M K=128 bf16 rows on 16GB."""
+    if row_align <= 1:
+        return 0
+    if row_align > 128:
+        raise ValueError("row_align > 128 defeats moment-dtype inference")
+    return (-width) % row_align
+
+
 def pack_generic_state(model, params, frozen=None,
-                       moment_dtype="float32") -> GenericPackedState:
+                       moment_dtype="float32",
+                       row_align: int = 1) -> GenericPackedState:
     """Pack params into p|m|v rows.  When `frozen` is given and the spec
     declares ``frozen_item_tables``, their columns are folded into the item
     rows (the step then issues ONE row gather where it would issue two —
@@ -256,11 +274,15 @@ def pack_generic_state(model, params, frozen=None,
     I = params[spec.item_tables[0][0]].shape[0]
     dtype = params[spec.user_tables[0][0]].dtype
 
+    u_base = Wu + _mom_width(moment_dtype, Wu) + 1
     user = jnp.concatenate(
         [params[n] for n, _, _ in u_offs]
-        + [jnp.zeros((U, _mom_width(moment_dtype, Wu) + 1), dtype)],
+        + [jnp.zeros(
+            (U, _mom_width(moment_dtype, Wu) + 1
+             + _row_pad(u_base, row_align)), dtype,
+        )],
         axis=1,
-    )  # m, v (packed) + tau
+    )  # m, v (packed) + tau (+ alignment pad)
     parts = [params[n] for n, _, _ in i_offs] + [
         jnp.zeros((I, _mom_width(moment_dtype, Wi)), dtype)
     ]
@@ -275,7 +297,10 @@ def pack_generic_state(model, params, frozen=None,
                     f"flattened width {col.shape[1]}"
                 )
             parts.append(col)
-    parts.append(jnp.zeros((I, 1), dtype))  # tau col
+    i_base = 1 + sum(int(p.shape[1]) for p in parts)  # + tau
+    parts.append(
+        jnp.zeros((I, 1 + _row_pad(i_base, row_align)), dtype)
+    )  # tau col (+ alignment pad)
     item = jnp.concatenate(parts, axis=1)
 
     zeros_like_tree = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
@@ -287,25 +312,47 @@ def pack_generic_state(model, params, frozen=None,
     return GenericPackedState(jnp.zeros((), jnp.int32), user, item, dense)
 
 
-def unpack_generic_params(state: GenericPackedState, spec: PackedSpec):
+def unpack_generic_params(state: GenericPackedState, spec: PackedSpec,
+                          moment_dtype=None):
     """Standard params dict from the packed state (slice views + dense p —
     amortized over an epoch/eval, never used inside the step).  The moment
-    layout (fp32 triples / bf16 pairs / fp8 quads) is inferred from the
-    user row width Wu + mom_width + 1."""
+    layout (fp32 triples / bf16 pairs / fp8 quads) is taken from
+    ``moment_dtype`` when given, else inferred from the user row width
+    Wu + mom_width + 1 (unique for unpadded states; can be ambiguous for
+    row_align-padded ones)."""
     u_offs, Wu = _offsets(spec.user_tables)
     i_offs, Wi = _offsets(spec.item_tables)
-    mc = state.user_pmv.shape[1] - 1 - Wu
-    if mc == 2 * Wu:
-        md = "float32"
-    elif mc == Wu:
-        md = "bfloat16"
-    elif mc == (Wu + 1) // 2:
-        md = "float8"
-    else:
-        raise ValueError(
-            f"user row width {state.user_pmv.shape[1]} does not match any "
-            f"moment layout for Wu={Wu}"
-        )
+    md = moment_dtype
+    if md is None:
+        # infer from the user row width.  Exact (unpadded) widths are
+        # unique across layouts for Wu >= 2; row_align-padded widths can
+        # be ambiguous (several bases fit within the <128 pad budget), in
+        # which case the caller must pass moment_dtype — the trainer's
+        # GenericPackedTrainState carries it for exactly this reason.
+        wu_total = state.user_pmv.shape[1]
+        bases = {
+            cand: Wu + _mom_width(cand, Wu) + 1
+            for cand in ("float32", "bfloat16", "float8")
+        }
+        exact = [c for c in ("bfloat16", "float32", "float8")
+                 if bases[c] == wu_total]
+        viable = [c for c in ("bfloat16", "float32", "float8")
+                  if 0 <= wu_total - bases[c] < 128]
+        if exact:
+            md = exact[0]
+        elif len(viable) == 1:
+            md = viable[0]
+        elif viable:
+            raise ValueError(
+                f"user row width {wu_total} is row_align-padded and "
+                f"matches several moment layouts {viable} for Wu={Wu} — "
+                "pass moment_dtype explicitly"
+            )
+        else:
+            raise ValueError(
+                f"user row width {wu_total} does not match any moment "
+                f"layout for Wu={Wu}"
+            )
     gs = _scalar_group(md)
     sc0 = Wi + _mom_width(md, Wi)
     params = {}
@@ -350,6 +397,13 @@ def make_generic_packed_step(
     sc0 = Wi + _mom_width(moment_dtype, Wi)  # scalar groups start here
     F0 = sc0 + gs * nS  # frozen columns start here
     fused_frozen = bool(fused_frozen and spec.frozen_item_tables)
+    # tau column indices (row_align pads trail AFTER tau; the pads pass
+    # through gather/scatter untouched — see _row_pad)
+    frozen_w = (
+        sum(w for _, w in spec.frozen_item_tables) if fused_frozen else 0
+    )
+    tau_u = Wu + _mom_width(moment_dtype, Wu)
+    tau_i = F0 + frozen_w
 
     def step(state: GenericPackedState, batch):
         frozen, (u, p_ids, n_ids), rng = batch
@@ -429,12 +483,13 @@ def make_generic_packed_step(
         # the tau column rides the same gather/scatter (no 1D tau ops) ---
         gu_cat = jnp.concatenate([gU[n] for n, _, _ in u_offs], axis=1)
         uids, cg = compact_row_grads(u, gu_cat, B)
-        rows = jnp.take(state.user_pmv, uids, axis=0)  # [S, mw*Wu+1]
-        dt = (t - rows[:, -1])[:, None]
+        rows = jnp.take(state.user_pmv, uids, axis=0)  # [S, tau_u+1(+pad)]
+        dt = (t - rows[:, tau_u])[:, None]
         new_rows = jnp.concatenate(
             [
-                lazy_rows(rows[:, :-1], cg, dt, t, lr),
+                lazy_rows(rows[:, :tau_u], cg, dt, t, lr),
                 jnp.full((rows.shape[0], 1), t, rows.dtype),
+                rows[:, tau_u + 1:],  # alignment pads pass through
             ],
             axis=1,
         )
@@ -458,12 +513,14 @@ def make_generic_packed_step(
         iids, cgi = compact_row_grads(
             ii, jnp.concatenate(gi_parts, axis=1), 2 * B + B * E
         )
-        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, sc0+gs*nS(+F)+1]
-        dt = (t - rows[:, -1])[:, None]
+        rows = jnp.take(state.item_pmv, iids, axis=0)  # [S, tau_i+1(+pad)]
+        dt = (t - rows[:, tau_i])[:, None]
         emb = lazy_rows(rows[:, :sc0], cgi[:, :Wi], dt, t, lr)
-        # frozen cols (when fused) pass through unchanged; tau col refreshed
-        tail = [rows[:, F0:-1]] if fused_frozen else []
+        # frozen cols (when fused) and alignment pads pass through
+        # unchanged; tau col refreshed
+        tail = [rows[:, F0:tau_i]] if fused_frozen else []
         tau_col = jnp.full((rows.shape[0], 1), t, rows.dtype)
+        pads = [rows[:, tau_i + 1:]]
         if nS:
             S = rows.shape[0]
             sc_rows = rows[:, sc0:F0].reshape(S * nS, gs)
@@ -472,9 +529,13 @@ def make_generic_packed_step(
             sc = lazy_scalar_rows(sc_rows, sc_g, sc_dt, t, lr).reshape(
                 S, gs * nS
             )
-            new_rows = jnp.concatenate([emb, sc] + tail + [tau_col], axis=1)
+            new_rows = jnp.concatenate(
+                [emb, sc] + tail + [tau_col] + pads, axis=1
+            )
         else:
-            new_rows = jnp.concatenate([emb] + tail + [tau_col], axis=1)
+            new_rows = jnp.concatenate(
+                [emb] + tail + [tau_col] + pads, axis=1
+            )
         item_pmv = state.item_pmv.at[iids].set(
             new_rows, unique_indices=True
         )
@@ -544,14 +605,18 @@ def make_generic_packed_epoch_fn(
 class GenericPackedTrainState:
     """Pytree adapter presenting a generic packed state to the shared fit()
     loop: `.params` materializes the standard dict (slice views + dense p)
-    for eval/best-copy/checkpoint — never used inside the step."""
+    for eval/best-copy/checkpoint — never used inside the step.
+    ``moment_dtype`` rides as static aux so row_align-padded layouts
+    unpack unambiguously (None = infer from widths)."""
 
-    def __init__(self, inner: GenericPackedState, spec: PackedSpec):
+    def __init__(self, inner: GenericPackedState, spec: PackedSpec,
+                 moment_dtype=None):
         self.inner = inner
         self.spec = spec
+        self.moment_dtype = moment_dtype
 
     def with_inner(self, inner):
-        return GenericPackedTrainState(inner, self.spec)
+        return GenericPackedTrainState(inner, self.spec, self.moment_dtype)
 
     @property
     def step(self):
@@ -559,11 +624,12 @@ class GenericPackedTrainState:
 
     @property
     def params(self):
-        return unpack_generic_params(self.inner, self.spec)
+        return unpack_generic_params(self.inner, self.spec,
+                                     self.moment_dtype)
 
 
 jax.tree_util.register_pytree_node(
     GenericPackedTrainState,
-    lambda s: ((s.inner,), (s.spec,)),
-    lambda aux, ch: GenericPackedTrainState(ch[0], aux[0]),
+    lambda s: ((s.inner,), (s.spec, s.moment_dtype)),
+    lambda aux, ch: GenericPackedTrainState(ch[0], *aux),
 )

@@ -195,12 +195,15 @@ class Trainer:
             packed = pack_generic_state(
                 self.model, params,
                 moment_dtype=getattr(self.cfg, "moment_dtype", "float32"),
+                row_align=getattr(self.cfg, "row_align", 1),
             )
             _, frozen = shard_params(self.model, params, frozen, self.mesh)
             return (
                 GenericPackedTrainState(
                     shard_generic_packed_state(packed, self.mesh),
                     self.model.packed_spec(),
+                    moment_dtype=getattr(self.cfg, "moment_dtype",
+                                         "float32"),
                 ),
                 frozen,
             )
@@ -220,8 +223,11 @@ class Trainer:
                         frozen=frozen if self._fused_frozen else None,
                         moment_dtype=getattr(self.cfg, "moment_dtype",
                                              "float32"),
+                        row_align=getattr(self.cfg, "row_align", 1),
                     ),
                     self.model.packed_spec(),
+                    moment_dtype=getattr(self.cfg, "moment_dtype",
+                                         "float32"),
                 ),
                 frozen,
             )

@@ -88,6 +88,9 @@ def main():
                     help="packed generic engine: Adam moment storage "
                          "(bfloat16 = m,v bit-packed into one fp32 column "
                          "per param column; 1/3 less row traffic)")
+    ap.add_argument("--row_align", type=int, default=1,
+                    help="packed generic engine: pad packed-row widths to "
+                         "this multiple (capacity mode; see SPEED.md r5)")
     ap.add_argument("--lazy_catchup", action="store_true",
                     help="packed generic engine: closed-form momentum "
                          "catch-up on touch")
@@ -201,7 +204,7 @@ def main():
                      and model.packed_spec().frozen_item_tables)
         state = pack_generic_state(
             model, params, frozen=frozen if fused else None,
-            moment_dtype=args.moment_dtype,
+            moment_dtype=args.moment_dtype, row_align=args.row_align,
         )
         epoch_fn = make_generic_packed_epoch_fn(
             model, 0.001, 0.001, args.items, steps, batch,

@@ -101,6 +101,7 @@ def test_cli_reg_sweep(dataset_dir):
     assert len(glob.glob(os.path.join(rdir, "results-metrics-*reg_0.01*"))) >= 1
 
 
+@pytest.mark.slow
 def test_cli_comp_vbpr(dataset_dir):
     rdir = _run(
         dataset_dir, "comp_vbpr",
@@ -121,6 +122,7 @@ def test_cli_comp_vbpr_ablated(dataset_dir):
     assert glob.glob(os.path.join(rdir, "recs-2-*.tsv"))
 
 
+@pytest.mark.slow
 def test_cli_packed_resume_matches_uninterrupted(dataset_dir):
     """--train_path packed --resume end-to-end: the CLI fast defaults
     (packed rows + lazy_catchup) interrupted at epoch 2 and resumed to 4

@@ -1,6 +1,7 @@
 """CompVBPR: reference-formula parity (CompVBPR.py:190-200, :388-459),
 component ablation semantics, loss quirks, and end-to-end learning."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -202,6 +203,7 @@ def test_loss_matches_reference_oracle_frozen_families():
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cnn_weights_regularized_biases_not():
     """d(loss)/d(cnn) reg component hits conv/fc weights but not biases
     (CompVBPR.py:286-290 filters 'bias' out of the CNN reg)."""

@@ -76,6 +76,7 @@ def test_zero_image_gradient_contract():
     assert float(jnp.abs(gi).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_attentive_fashion_fused_tower_matches_xla():
     """AttentiveFashion with edge_tower='fused' must score/eval like the
     inline XLA tower (within last-ulp accumulation differences)."""

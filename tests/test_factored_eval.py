@@ -206,6 +206,7 @@ def test_sharded_counts_bit_equal_single_device(impl):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(sharded))
 
 
+@pytest.mark.slow
 def test_distributed_store_recommendation_matches_dense(tmp_path):
     """The mesh dump branch (sharded streaming top-k merge) against the
     dense evaluator's dump."""

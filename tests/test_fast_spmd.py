@@ -1,5 +1,6 @@
 """Sharded fast path must match the single-device fast path numerically."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -344,6 +345,7 @@ def test_generic_packed_spmd_attentive_fashion_matches_single_device():
             )
 
 
+@pytest.mark.slow
 def test_generic_packed_spmd_comp_vbpr_matches_single_device():
     """Sharded generic packed engine == single-device engine for CompVBPR —
     four feature families: row-sharded frozen tables read through

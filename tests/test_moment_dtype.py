@@ -233,6 +233,113 @@ def test_fp8_moments_with_fused_frozen():
     )
 
 
+@pytest.mark.parametrize("moment_dtype", ["float32", "bfloat16"])
+def test_row_align_bit_identical(moment_dtype):
+    """Capacity mode (row_align=128): padded rows must reproduce the
+    unpadded layout's trajectory — the pads are dead columns that ride the
+    gathers/scatters untouched.  (Not bit-exact: the wider gather shapes
+    change XLA's reduction tiling in the loss sums, a last-ulp effect.)"""
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+    from fashionvisualexpl_tpu.train.packed_generic import _row_pad
+
+    data = synthetic_interactions(24, 30, interactions_per_user=8, seed=0)
+    feats = synthetic_features(30, 12, seed=1)
+    model = VBPR(24, 30, feats, embed_k=8, embed_d=4)
+    _, frozen = model.init(jax.random.PRNGKey(1))
+
+    def run(row_align):
+        params, _ = model.init(jax.random.PRNGKey(1))
+        batch = 16
+        steps = data.steps_per_epoch(batch)
+        state = pack_generic_state(
+            model, params, moment_dtype=moment_dtype, row_align=row_align
+        )
+        ep = make_generic_packed_epoch_fn(
+            model, 0.01, 0.01, data.num_items, steps, batch,
+            with_replacement=False, moment_dtype=moment_dtype,
+            lazy_catchup=True,
+        )
+        args = (jnp.asarray(data.train_pairs), jnp.asarray(data.padded_pos),
+                jnp.asarray(data.pos_counts))
+        losses = []
+        for e in range(3):
+            state, loss = ep(state, frozen, jax.random.fold_in(
+                jax.random.PRNGKey(0), e), *args)
+            losses.append(float(loss))
+        return state, losses
+
+    s1, l1 = run(1)
+    s128, l128 = run(128)
+    assert s128.user_pmv.shape[1] % 128 == 0
+    assert s128.item_pmv.shape[1] % 128 == 0
+    assert s128.user_pmv.shape[1] > s1.user_pmv.shape[1]
+    np.testing.assert_allclose(l128, l1, rtol=1e-6)
+    spec = model.packed_spec()
+    p1 = unpack_generic_params(s1, spec, moment_dtype=moment_dtype)
+    p128 = unpack_generic_params(s128, spec, moment_dtype=moment_dtype)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p128[k]), np.asarray(p1[k]), rtol=1e-5, atol=1e-7,
+            err_msg=k,
+        )
+    # pad columns stay exactly zero after training
+    base_u = s1.user_pmv.shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(s128.user_pmv[:, base_u:]), 0.0
+    )
+    assert _row_pad(base_u, 128) == s128.user_pmv.shape[1] - base_u
+
+
+def test_row_align_sharded_matches_single_device():
+    """row_align over the mesh: the sharded engine must pass the pads
+    through its taucol apply and match the single-device padded run."""
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_generic_packed_spmd_epoch_fn, shard_generic_packed_state,
+    )
+
+    mesh = make_mesh(data=2, model=4)
+    data = synthetic_interactions(24, 32, interactions_per_user=8, seed=3)
+    model = BPRMF(24, 32, embed_k=8)
+    params, frozen = model.init(jax.random.PRNGKey(2))
+    lr, reg, batch = 0.01, 0.01, 16
+    steps = data.steps_per_epoch(batch)
+    args = (jnp.asarray(data.train_pairs), jnp.asarray(data.padded_pos),
+            jnp.asarray(data.pos_counts))
+
+    s1 = pack_generic_state(model, params, moment_dtype="bfloat16",
+                            row_align=128)
+    ep1 = make_generic_packed_epoch_fn(
+        model, lr, reg, data.num_items, steps, batch,
+        with_replacement=False, moment_dtype="bfloat16", lazy_catchup=True,
+    )
+    s8 = shard_generic_packed_state(
+        pack_generic_state(model, params, moment_dtype="bfloat16",
+                           row_align=128), mesh
+    )
+    ep8 = make_generic_packed_spmd_epoch_fn(
+        model, mesh, lr, reg, data.num_items, steps, batch,
+        moment_dtype="bfloat16", lazy_catchup=True,
+    )
+    key = jax.random.PRNGKey(0)
+    for e in range(2):
+        k = jax.random.fold_in(key, e)
+        s1, l1 = ep1(s1, frozen, k, *args)
+        s8, l8 = ep8(s8, frozen, k, *args)
+        np.testing.assert_allclose(float(l8), float(l1), rtol=2e-4)
+    spec = model.packed_spec()
+    # padded widths at tiny Wu are ambiguous across layouts — the explicit
+    # moment_dtype (what GenericPackedTrainState carries) resolves them
+    p1 = unpack_generic_params(s1, spec, moment_dtype="bfloat16")
+    p8 = unpack_generic_params(s8, spec, moment_dtype="bfloat16")
+    for name in ("Gu", "Gi", "Bi"):
+        got = np.asarray(p8[name])[: np.asarray(p1[name]).shape[0]]
+        np.testing.assert_allclose(
+            got, np.asarray(p1[name]), rtol=3e-4, atol=2e-5, err_msg=name,
+        )
+
+
 def test_fp8_rejected_by_sharded_engine():
     from fashionvisualexpl_tpu.core.mesh import make_mesh
     from fashionvisualexpl_tpu.models.bprmf import BPRMF

@@ -9,6 +9,7 @@ same epoch on a single-process 4-device mesh — collectives riding a real
 process boundary produce the numbers the virtual mesh produces.
 """
 
+import pytest
 import os
 import socket
 import subprocess
@@ -84,6 +85,7 @@ def _loss_from(out: str) -> float:
     raise AssertionError(f"no RESULT line in output:\n{out[-2000:]}")
 
 
+@pytest.mark.slow
 def test_two_process_epoch_matches_single_process(tmp_path):
     script = tmp_path / "child.py"
     script.write_text(_CHILD)

@@ -8,6 +8,7 @@
 - the shared fit() loop must run it end-to-end via train_path='packed'.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,6 +194,7 @@ def _full_coverage_parity(model, frozen, params, lr, reg, B, steps, seed):
         )
 
 
+@pytest.mark.slow
 def test_generic_comp_vbpr_matches_dense_full_coverage():
     from fashionvisualexpl_tpu.models.comp_vbpr import CompVBPR
 
@@ -274,6 +276,7 @@ def test_fit_packed_acf():
     assert s.shape == (2,)
 
 
+@pytest.mark.slow
 def test_fit_packed_comp_vbpr_and_attentive():
     from fashionvisualexpl_tpu.core.config import TrainConfig
     from fashionvisualexpl_tpu.data.interactions import synthetic_interactions

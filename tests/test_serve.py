@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fashionvisualexpl_tpu.data.features import synthetic_features
 from fashionvisualexpl_tpu.data.interactions import synthetic_interactions
@@ -260,6 +261,7 @@ def test_duplicate_train_pair_deduped_with_warning():
     assert int(data.pos_counts.sum()) == 3
 
 
+@pytest.mark.slow
 def test_serve_fuzz_ties_and_geometries():
     """Randomized geometries with heavily tied scores: ranked SCORES must
     match the oracle exactly (ids are tie-ambiguous), every served id must

@@ -13,6 +13,7 @@ from fashionvisualexpl_tpu.vision.backbones import (
 )
 
 
+@pytest.mark.slow
 def test_resnet50_shapes():
     net = ResNet()
     params = net.init(jax.random.PRNGKey(0))
@@ -171,6 +172,7 @@ def test_texture_grams():
     np.testing.assert_allclose(out[0, :64], want, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_resnet152_shapes():
     """The third backbone of the reference registry
     (CnnFeatureExtractor.py:12-19): feature/classify shapes."""

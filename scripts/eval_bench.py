@@ -71,9 +71,17 @@ def full_evaluator_bench(args):
     )
     model = BPRMF(data.num_users, data.num_items, embed_k=args.dim)
     params, frozen = model.init(jax.random.PRNGKey(0))
+    mesh = None
+    if args.mesh_model:
+        # the sharded evaluator on however many devices exist (1x1 on the
+        # single real chip = the shard_map-overhead sanity number for the
+        # round-5 sharded fast-counts engines)
+        from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(data=1, model=args.mesh_model)
     ev = FactoredEvaluator(
         model, data, k=20, user_block=4096, item_block=args.item_block,
-        counts_impl=args.counts_impl,
+        counts_impl=args.counts_impl, mesh=mesh,
     )
     out = ev.evaluate(params, frozen)  # compile + settle
     best = prev = None
@@ -87,7 +95,11 @@ def full_evaluator_bench(args):
         prev = dt
     scored = 2 * data.num_users * data.num_items  # val + test splits
     print(json.dumps({
-        "kernel": f"full_evaluator[{ev.counts_impl}]",
+        "kernel": (
+            f"full_evaluator[{ev.counts_impl}"
+            + (f",mesh=1x{args.mesh_model}" if mesh is not None else "")
+            + "]"
+        ),
         "elapsed_s": round(best, 4),
         "scores_per_sec": round(scored / best),
         "auc_t": round(out["auc_t"], 4),
@@ -115,6 +127,9 @@ def main():
                    help="time FactoredEvaluator.evaluate end-to-end "
                         "instead of the bare counts kernel")
     p.add_argument("--counts_impl", default="auto")
+    p.add_argument("--mesh_model", type=int, default=0,
+                   help="run the SHARDED evaluator over a 1 x N model "
+                        "mesh (0 = single-device path)")
     args = p.parse_args()
 
     if args.full:

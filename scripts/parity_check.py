@@ -693,7 +693,8 @@ def main():
     ap.add_argument("--train_path", choices=["generic", "packed"],
                     default="generic",
                     help="also validates the packed/LazyAdam path's accuracy")
-    ap.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+    ap.add_argument("--moment_dtype",
+                    choices=["float32", "bfloat16", "float8"],
                     default="float32",
                     help="packed path: bf16 Adam-moment storage — measures "
                          "the quantized-moment accuracy impact")

@@ -91,6 +91,12 @@ def main():
     ap.add_argument("--row_align", type=int, default=1,
                     help="packed generic engine: pad packed-row widths to "
                          "this multiple (capacity mode; see SPEED.md r5)")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="skip the eval section (capacity-ladder runs)")
+    ap.add_argument("--host_pack", action="store_true",
+                    help="init + pack on the CPU backend, ship packed "
+                         "tables once (avoids the params+packed pack-time "
+                         "transient at the HBM capacity frontier)")
     ap.add_argument("--lazy_catchup", action="store_true",
                     help="packed generic engine: closed-form momentum "
                          "catch-up on touch")
@@ -202,10 +208,44 @@ def main():
 
         fused = bool(args.fused_frozen
                      and model.packed_spec().frozen_item_tables)
-        state = pack_generic_state(
-            model, params, frozen=frozen if fused else None,
-            moment_dtype=args.moment_dtype, row_align=args.row_align,
-        )
+        if args.host_pack:
+            # capacity frontier: packing on device transiently holds the
+            # fp32 init params NEXT TO the packed tables (4.3G + 13.1G at
+            # 8.5M K=128 rows — the pack itself OOMs before any step).
+            # Init + pack on the CPU backend instead and ship each packed
+            # table once.  The earlier device-side init must go first.
+            import jax
+
+            for v in params.values():
+                v.delete()
+            params = {}
+            cpu0 = jax.devices("cpu")[0]
+            dev0 = jax.devices()[0]
+            with jax.default_device(cpu0):
+                params_h, frozen_h = model.init(jax.random.PRNGKey(0))
+                state_h = pack_generic_state(
+                    model, params_h, frozen=frozen_h if fused else None,
+                    moment_dtype=args.moment_dtype,
+                    row_align=args.row_align,
+                )
+            del params_h, frozen_h
+            t0 = time.time()
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, dev0), state_h
+            )
+            jax.block_until_ready(state.user_pmv)
+            del state_h
+            print(f"host-pack shipped in {time.time() - t0:.1f}s",
+                  flush=True)
+        else:
+            state = pack_generic_state(
+                model, params, frozen=frozen if fused else None,
+                moment_dtype=args.moment_dtype, row_align=args.row_align,
+            )
+        # the fp32 init params must not stay alive next to the packed state
+        for v in params.values():
+            v.delete()
+        params = None
         epoch_fn = make_generic_packed_epoch_fn(
             model, 0.001, 0.001, args.items, steps, batch,
             with_replacement=args.bootstrap, fused_frozen=fused,
@@ -318,10 +358,11 @@ def main():
     print(f"train: {tps:,.0f} triples/s (best of settled runs, "
           f"{steps}x{batch})", flush=True)
 
-    if args.model != "bprmf":
+    if args.model != "bprmf" or args.skip_eval:
         # eval throughput for the factored models is recorded by the full
         # evaluator benchmarks (SPEED.md); this script's eval section
-        # measures the shared MF core only
+        # measures the shared MF core only.  --skip_eval: capacity-ladder
+        # runs where the eval-side table copies would OOM after training
         print(json.dumps({
             "scaled_train_triples_per_sec": tps,
             "config": vars(args),

@@ -60,6 +60,29 @@ def batched_attributions(
         per_user[u] = pos
         buckets.setdefault(_pow2(len(pos)), []).append(u)
 
+    # ONE vectorized ragged->padded pass for every user (pad slots repeat
+    # the row's first item): the former per-row python assembly loop was
+    # the engine's measured host wall (~2-4s over 200k users, round-5
+    # xplane decomposition) — five numpy passes replace it
+    import itertools
+
+    uids = np.fromiter(per_user.keys(), np.int64, len(per_user))
+    lens = np.fromiter((len(v) for v in per_user.values()), np.int64,
+                       len(per_user))
+    total = int(lens.sum())
+    flat = np.fromiter(
+        itertools.chain.from_iterable(per_user.values()), np.int32, total
+    )
+    offs = np.cumsum(lens) - lens
+    w_max = int(lens.max())
+    rr = np.repeat(np.arange(len(uids)), lens)
+    cc = np.arange(total) - np.repeat(offs, lens)
+    dense_ids = np.zeros((len(uids), w_max), np.int32)
+    dense_ids[rr, cc] = flat
+    valid = np.arange(w_max)[None, :] < lens[:, None]
+    dense_ids = np.where(valid, dense_ids, dense_ids[:, :1])
+    row_of = {int(u): i for i, u in enumerate(uids)}
+
     fn = jax.jit(batch_fn)
     out: Dict[int, np.ndarray] = {}
     # two passes: DISPATCH every block first, fetch after.  The previous
@@ -71,18 +94,13 @@ def batched_attributions(
     # per block, ~50MB total at catalog scale).
     pending = []
     for width, users in sorted(buckets.items()):
+        urows = np.fromiter((row_of[u] for u in users), np.int64, len(users))
         for s in range(0, len(users), user_block):
             chunk = users[s : s + user_block]
             B = _pow2(min(len(chunk), user_block))
             idx = np.minimum(np.arange(B), len(chunk) - 1)
             u_arr = np.asarray(chunk, np.int32)[idx]  # tail pad: last user
-            i_arr = np.zeros((B, width), np.int32)
-            for r, u in enumerate(chunk):
-                pos = per_user[u]
-                i_arr[r, : len(pos)] = pos
-                i_arr[r, len(pos):] = pos[0]
-            if len(chunk) < B:  # tail rows repeat the last real row
-                i_arr[len(chunk):] = i_arr[len(chunk) - 1]
+            i_arr = dense_ids[urows[s : s + user_block][idx], :width]
             pending.append(
                 (chunk,
                  fn(params, frozen, jnp.asarray(u_arr), jnp.asarray(i_arr)))

@@ -395,7 +395,8 @@ class FactoredEvaluator:
                 item_block=self.item_block,
             )
         position = jnp.sum(jnp.where(t_valid, position_t, 0), axis=1)
-        num_neg = I - train_counts - ev_counts
+        # catalog size, NOT the (possibly mesh-padded) table height
+        num_neg = self.data.num_items - train_counts - ev_counts
         denom = jnp.maximum(num_neg * ev_counts, 1).astype(jnp.float32)
         auc = 1.0 - position.astype(jnp.float32) / denom
 
@@ -444,17 +445,40 @@ class FactoredEvaluator:
         cat = type(per_user[0])(*[jnp.concatenate(f) for f in zip(*per_user)])
         return mean_metrics(cat)
 
+    def _pad_items_for_mesh(self, item_factors, item_bias):
+        """Pad item tables to the model-axis multiple with -inf bias: pad
+        rows score -inf, so they can never satisfy a >= count nor enter a
+        top-k (their -inf candidates take the OUT_OF_RANGE sentinel).
+        Callers therefore pass UNPADDED tables under a mesh, exactly like
+        the single-device contract — previously the caller had to pad,
+        and zero-scoring pad rows silently counted as negatives."""
+        from fashionvisualexpl_tpu.core.mesh import MODEL_AXIS
+
+        m = self.mesh.shape[MODEL_AXIS]
+        I = self.data.num_items
+        pad = (-I) % m
+        if item_bias is None:
+            item_bias = jnp.zeros((I,), item_factors.dtype)
+        if pad:
+            item_factors = jnp.pad(item_factors, ((0, pad), (0, 0)))
+            item_bias = jnp.pad(
+                item_bias, (0, pad), constant_values=-jnp.inf
+            )
+        return item_factors, item_bias
+
     def evaluate(self, params, frozen) -> Dict[str, float]:
         uf, item_factors, item_bias = self.model.factored_eval(params, frozen)
-        # sharded tables are row-padded to the mesh multiple (score 0 for
-        # pad items) — strip them so they cannot enter top-k or counts.
-        # Under the distributed path the shard row count must still divide
-        # the model axis, which sharded_streaming checks explicitly.
-        if self.mesh is None:
-            uf = uf[: self.data.num_users]
-            item_factors = item_factors[: self.data.num_items]
-            if item_bias is not None:
-                item_bias = item_bias[: self.data.num_items]
+        # strip any model-side row padding so pad rows cannot enter top-k
+        # or counts; the mesh path re-pads to the axis multiple with -inf
+        # bias (score -inf: inert everywhere)
+        uf = uf[: self.data.num_users]
+        item_factors = item_factors[: self.data.num_items]
+        if item_bias is not None:
+            item_bias = item_bias[: self.data.num_items]
+        if self.mesh is not None:
+            item_factors, item_bias = self._pad_items_for_mesh(
+                item_factors, item_bias
+            )
         out: Dict[str, float] = {}
         t = self._eval_split("test", uf, item_factors, item_bias)
         out.update(
@@ -543,6 +567,13 @@ class FactoredEvaluator:
 
         uf_all, item_factors, item_bias = self.model.factored_eval(
             params, frozen
+        )
+        uf_all = uf_all[: self.data.num_users]
+        item_factors = item_factors[: self.data.num_items]
+        if item_bias is not None:
+            item_bias = item_bias[: self.data.num_items]
+        item_factors, item_bias = self._pad_items_for_mesh(
+            item_factors, item_bias
         )
         U = self.data.num_users
         P = self._train_items.shape[1]

@@ -161,6 +161,50 @@ def test_distributed_streaming_matches_dense(impl):
     _assert_same(dense, distributed)
 
 
+@pytest.mark.parametrize("impl", ["mask", "pallas"])
+def test_distributed_streaming_non_divisible_items(impl):
+    """Catalogs that don't divide the model axis: the evaluator pads item
+    rows internally with -inf bias, so pad rows never count as negatives
+    nor reach a dump — previously the CALLER had to pad and zero-scoring
+    pad rows silently corrupted AUC (and could surface fabricated ids in
+    top-k dumps)."""
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    # 47 items over 8 shards -> pad to 48 (1 pad row)
+    data = synthetic_interactions(24, 47, interactions_per_user=7, seed=13)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    params, frozen = model.init(jax.random.PRNGKey(6))
+    dense = Evaluator(model, data, k=8, user_block=8).evaluate(params, frozen)
+    distributed = FactoredEvaluator(
+        model, data, k=8, user_block=8, item_block=6, mesh=mesh,
+        counts_impl=impl,
+    ).evaluate(params, frozen)
+    _assert_same(dense, distributed)
+
+
+def test_distributed_dump_non_divisible_items(tmp_path):
+    from fashionvisualexpl_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=8)
+    data = synthetic_interactions(16, 43, interactions_per_user=6, seed=14)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    params, frozen = model.init(jax.random.PRNGKey(7))
+    dense_path = str(tmp_path / "dense.tsv")
+    dist_path = str(tmp_path / "dist.tsv")
+    Evaluator(model, data, k=5, user_block=8).store_recommendation(
+        params, frozen, dense_path
+    )
+    FactoredEvaluator(
+        model, data, k=5, user_block=8, item_block=6, mesh=mesh
+    ).store_recommendation(params, frozen, dist_path)
+    dense = [l.split("\t") for l in open(dense_path)]
+    dist = [l.split("\t") for l in open(dist_path)]
+    assert [d[:2] for d in dense] == [d[:2] for d in dist]
+    # no fabricated pad-item ids
+    assert all(int(d[1]) < data.num_items for d in dist)
+
+
 @pytest.mark.parametrize("impl", ["bucketed", "pallas"])
 def test_sharded_counts_bit_equal_single_device(impl):
     """The sharded fast counts engines must be BIT-equal to the

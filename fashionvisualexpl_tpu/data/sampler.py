@@ -38,6 +38,28 @@ def _negatives_from_rows(key, rows, counts, num_items):
     return r + k
 
 
+def derived_pairs_ok(train_pairs, padded_pos) -> bool:
+    """Host-side eligibility check for sample_triplets(train_pairs=None).
+
+    True iff the row-major flattening of ``padded_pos`` IS the user-major
+    pair list: every user has exactly ``padded_pos.shape[1]`` positives
+    stored in the padded rows' (ascending) order.  When this holds, the
+    derived-pairs sampler is bit-identical to the materialized-pairs path
+    for all three epoch schemes; the [N, 2] table need never reach HBM.
+    """
+    import numpy as np
+
+    train_pairs = np.asarray(train_pairs)
+    padded_pos = np.asarray(padded_pos)
+    U, Pw = padded_pos.shape
+    if train_pairs.shape != (U * Pw, 2):  # non-uniform counts exit here
+        return False
+    by_user = train_pairs.reshape(U, Pw, 2)
+    if not bool((by_user[:, :, 0] == np.arange(U)[:, None]).all()):
+        return False
+    return bool((by_user[:, :, 1] == padded_pos).all())
+
+
 def sample_negatives(
     key: jax.Array,
     users: jax.Array,  # [B] int32
@@ -53,7 +75,7 @@ def sample_negatives(
 
 def sample_triplets(
     key: jax.Array,
-    train_pairs: jax.Array,  # [N, 2] int32, USER-MAJOR contiguous
+    train_pairs: jax.Array,  # [N, 2] int32, USER-MAJOR contiguous; or None
     padded_pos: jax.Array,
     pos_counts: jax.Array,
     num_items: int,
@@ -80,12 +102,25 @@ def sample_triplets(
       equivalent training.
 
     All schemes drop the unfilled tail batch (dataset.py:90-93).
+
+    DERIVED-PAIRS capacity mode: ``train_pairs=None`` re-derives the pair
+    list from ``padded_pos`` instead of reading a resident [N, 2] table —
+    the dominant sampler-table footprint at the HBM capacity frontier
+    (920MB of the ~2.3G at the 11.5M-row ladder ceiling, SPEED.md r5).
+    Requires every user to have exactly ``padded_pos.shape[1]`` positives
+    stored in ascending order — the row-major flattening of padded_pos IS
+    then the user-major pair list, and all three schemes produce triples
+    bit-identical to the materialized-pairs path (same PRNG draws, same
+    visit order).  Callers verify eligibility host-side with
+    ``derived_pairs_ok``.
     """
     mode = {False: "user_perm", True: "bootstrap"}.get(
         with_replacement, with_replacement
     )
     perm_key, neg_key = jax.random.split(key)
-    n = train_pairs.shape[0]
+    derived = train_pairs is None
+    n = padded_pos.shape[0] * padded_pos.shape[1] if derived \
+        else train_pairs.shape[0]
     take = num_steps * batch_size
     if mode == "bootstrap":
         idx = jax.random.randint(perm_key, (take,), 0, n)
@@ -95,6 +130,34 @@ def sample_triplets(
         U = pos_counts.shape[0]
         Pw = padded_pos.shape[1]
         perm = jax.random.permutation(perm_key, U)
+        if derived:
+            # pair list re-derived from padded_pos: user k's run is row
+            # perm[k] verbatim (uniform counts + sorted stored order make
+            # this the exact user-major pair list).  Same perm/neg draws
+            # and visit order as the materialized fast path below — and
+            # FASTER: broadcast+reshape replaces the [take, 2] pair-table
+            # gather (whose 2-wide lane dim gathers at 64x tile padding);
+            # measured 114.1 -> 21.1 ms/epoch-sample at 1M x 500k, 200x8192
+            # (jnp.repeat here was 170ms — it lowers to a real gather; the
+            # broadcast is free).
+            rows_u = jnp.take(padded_pos, perm, axis=0)  # [U, Pw]
+            users = jnp.broadcast_to(
+                perm.astype(jnp.int32)[:, None], (U, Pw)
+            ).reshape(U * Pw)[:take]
+            pos = rows_u.reshape(U * Pw)[:take]
+            u01 = jax.random.uniform(neg_key, (take,))
+            c = num_items - Pw
+            r = jnp.minimum(jnp.floor(u01 * c).astype(jnp.int32), c - 1)
+            r_u = jnp.pad(r, (0, U * Pw - take)).reshape(U, Pw)
+            shifted = rows_u - jnp.arange(Pw, dtype=jnp.int32)[None, :]
+            k = jnp.sum(
+                shifted[:, None, :] <= r_u[:, :, None], axis=2,
+                dtype=jnp.int32,
+            )
+            neg = (r_u + k).reshape(U * Pw)[:take]
+            shape = (num_steps, batch_size)
+            return (users.reshape(shape), pos.reshape(shape),
+                    neg.reshape(shape))
         if n == U * Pw:
             # Uniform positive counts — provable from STATIC shapes alone
             # (sum(counts) == U * max(counts) forces every count == max).
@@ -113,9 +176,15 @@ def sample_triplets(
                 perm[:, None] * Pw
                 + jnp.arange(Pw, dtype=perm.dtype)[None, :]
             ).reshape(U * Pw)[:take]
-            pairs_s = jnp.take(train_pairs, idx_u, axis=0)  # [take, 2]
-            users = pairs_s[:, 0]
-            pos = pairs_s[:, 1]
+            # users need no gather at all (user-major uniform layout makes
+            # train_pairs[k*Pw + t, 0] == k), and pos gathers the ITEM
+            # COLUMN 1-D — a [take, 2] row gather pays 64x (8,128)-tile
+            # padding on the 2-wide lane dim (measured 114.1 -> 34.3
+            # ms/epoch-sample at 1M x 500k, 200x8192)
+            users = jnp.broadcast_to(
+                perm.astype(jnp.int32)[:, None], (U, Pw)
+            ).reshape(U * Pw)[:take]
+            pos = jnp.take(train_pairs[:, 1], idx_u)
             rows_u = jnp.take(padded_pos, perm, axis=0)  # [U, Pw], once/user
             # identical u01 draw to the generic path (same key, same [take]
             # shape); counts are the static Pw everywhere
@@ -146,9 +215,21 @@ def sample_triplets(
         idx = jnp.take(row_starts, jnp.take(perm, seg)) + within
     else:
         raise ValueError(f"unknown sampling scheme {with_replacement!r}")
+    shape = (num_steps, batch_size)
+    if derived:
+        # pair idx -> (user, slot) arithmetically; positives come from the
+        # per-row gather the negative sampler needs anyway (shared below),
+        # so no [N, 2] table is ever resident.
+        Pw = padded_pos.shape[1]
+        users = (idx // Pw).astype(jnp.int32)
+        slot = (idx % Pw).astype(jnp.int32)
+        rows = jnp.take(padded_pos, users, axis=0)  # [take, Pw]
+        pos = jnp.take_along_axis(rows, slot[:, None], axis=1)[:, 0]
+        counts = jnp.take(pos_counts, users)
+        neg = _negatives_from_rows(neg_key, rows, counts, num_items)
+        return users.reshape(shape), pos.reshape(shape), neg.reshape(shape)
     pairs = jnp.take(train_pairs, idx, axis=0)
     users = pairs[:, 0]
     pos = pairs[:, 1]
     neg = sample_negatives(neg_key, users, padded_pos, pos_counts, num_items)
-    shape = (num_steps, batch_size)
     return users.reshape(shape), pos.reshape(shape), neg.reshape(shape)

@@ -70,8 +70,22 @@ class Trainer:
 
             self.mesh = make_mesh(data=cfg.mesh.data, model=cfg.mesh.model)
 
-        # device-resident sampler tables
-        self._train_pairs = jnp.asarray(data.train_pairs)
+        # device-resident sampler tables.  When the pair list is exactly
+        # the row-major flattening of padded_pos (uniform counts, sorted
+        # stored order), skip shipping it: the sampler re-derives pairs
+        # from padded_pos bit-identically (data/sampler.py derived mode).
+        # Strictly better when eligible — the [N, 2] table is the dominant
+        # sampler footprint at the HBM capacity frontier AND its 2-wide row
+        # gather is the sampler's slowest op (114 -> 21 ms/epoch at
+        # 1M x 500k, SPEED.md r5).  Mesh paths too: every epoch fn samples
+        # in plain jit outside shard_map with replicated sampler tables
+        # (pinned in tests/test_fast_spmd.py).
+        from fashionvisualexpl_tpu.data.sampler import derived_pairs_ok
+
+        if derived_pairs_ok(data.train_pairs, data.padded_pos):
+            self._train_pairs = None
+        else:
+            self._train_pairs = jnp.asarray(data.train_pairs)
         self._padded_pos = jnp.asarray(data.padded_pos)
         self._pos_counts = jnp.asarray(data.pos_counts)
 

@@ -17,15 +17,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_scaled_arrays(num_users, num_items, pos_per_user, seed=0):
+def make_scaled_arrays(num_users, num_items, pos_per_user, seed=0,
+                       build_pairs=True):
     """Vectorized padded-positives construction: row u gets pos_per_user
-    distinct pseudo-random items (affine spread), sorted ascending."""
+    distinct pseudo-random items (affine spread), sorted ascending.
+    ``build_pairs=False`` (derived-pairs capacity mode) skips the [N, 2]
+    table entirely — rows are sorted + uniform, so the sampler re-derives
+    it from the padded matrix bit-identically (data/sampler.py)."""
     rng = np.random.default_rng(seed)
     base = rng.integers(0, num_items, size=(num_users, 1), dtype=np.int64)
     stride = (num_items // (pos_per_user + 1)) - 1
     items = (base + np.arange(pos_per_user, dtype=np.int64) * stride) % num_items
     items = np.sort(items, axis=1).astype(np.int32)
     counts = np.full((num_users,), pos_per_user, dtype=np.int32)
+    if not build_pairs:
+        return None, items, counts
     users = np.repeat(
         np.arange(num_users, dtype=np.int32), pos_per_user
     )
@@ -97,6 +103,11 @@ def main():
                     help="init + pack on the CPU backend, ship packed "
                          "tables once (avoids the params+packed pack-time "
                          "transient at the HBM capacity frontier)")
+    ap.add_argument("--derived_pairs", action="store_true",
+                    help="capacity mode: never materialize the [N, 2] pair "
+                         "table (920MB at the 11.5M-row ceiling) — the "
+                         "sampler re-derives pairs from padded_pos "
+                         "bit-identically (rows here are sorted + uniform)")
     ap.add_argument("--lazy_catchup", action="store_true",
                     help="packed generic engine: closed-form momentum "
                          "catch-up on touch")
@@ -124,7 +135,8 @@ def main():
 
     print(f"building {args.users}x{args.items} arrays...", flush=True)
     pairs, padded_pos, counts = make_scaled_arrays(
-        args.users, args.items, args.pos_per_user
+        args.users, args.items, args.pos_per_user,
+        build_pairs=not args.derived_pairs,
     )
     if args.model == "bprmf":
         model = BPRMF(args.users, args.items, embed_k=args.embed_k)
@@ -194,7 +206,7 @@ def main():
     params, frozen = model.init(jax.random.PRNGKey(0))
     print("state built", flush=True)
 
-    pairs_d = jnp.asarray(pairs)
+    pairs_d = None if pairs is None else jnp.asarray(pairs)
     pos_d = jnp.asarray(padded_pos)
     cnt_d = jnp.asarray(counts)
 

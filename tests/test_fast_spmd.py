@@ -432,3 +432,56 @@ def test_generic_packed_spmd_comp_vbpr_matches_single_device():
     np.testing.assert_array_equal(
         np.argsort(-x1, axis=1)[:, :5], np.argsort(-x8, axis=1)[:, :5]
     )
+
+
+def test_generic_packed_spmd_derived_pairs_matches_materialized():
+    """train_pairs=None (derived-pairs capacity mode, data/sampler.py) under
+    the mesh: the sampler runs in plain jit OUTSIDE shard_map, so deriving
+    the pair list from padded_pos must leave the sharded epoch bit-identical
+    to the materialized-pairs run — on every device's table shard."""
+    from fashionvisualexpl_tpu.data.interactions import Interactions
+    from fashionvisualexpl_tpu.data.sampler import derived_pairs_ok
+    from fashionvisualexpl_tpu.parallel.fast_spmd import (
+        make_generic_packed_spmd_epoch_fn, shard_generic_packed_state,
+    )
+    from fashionvisualexpl_tpu.train.packed_generic import pack_generic_state
+
+    rng = np.random.default_rng(29)
+    training = [
+        sorted(rng.choice(32, size=7, replace=False).tolist())
+        for _ in range(24)
+    ]
+    test = [[int(rng.integers(32))] for _ in range(24)]
+    data = Interactions.from_lists(training, test, 32)
+    assert derived_pairs_ok(data.train_pairs, data.padded_pos)
+
+    mesh = make_mesh(data=2, model=4)
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    batch = 16
+    steps = data.steps_per_epoch(batch)
+    params, frozen = model.init(jax.random.PRNGKey(1))
+    pos_d = jnp.asarray(data.padded_pos)
+    cnt_d = jnp.asarray(data.pos_counts)
+    key = jax.random.PRNGKey(3)
+
+    outs = {}
+    for label, pairs_arg in (
+        ("pairs", jnp.asarray(data.train_pairs)), ("derived", None)
+    ):
+        st = shard_generic_packed_state(
+            pack_generic_state(model, params), mesh
+        )
+        ep = make_generic_packed_spmd_epoch_fn(
+            model, mesh, 0.01, 0.01, data.num_items, steps, batch
+        )
+        losses = []
+        for e in range(2):
+            st, l = ep(st, frozen, jax.random.fold_in(key, e),
+                       pairs_arg, pos_d, cnt_d)
+            losses.append(float(l))
+        outs[label] = (losses, np.asarray(st.user_pmv),
+                       np.asarray(st.item_pmv))
+
+    assert outs["pairs"][0] == outs["derived"][0]
+    np.testing.assert_array_equal(outs["pairs"][1], outs["derived"][1])
+    np.testing.assert_array_equal(outs["pairs"][2], outs["derived"][2])

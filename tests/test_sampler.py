@@ -8,7 +8,11 @@ from fashionvisualexpl_tpu.data.interactions import (
     pad_sorted_positives,
     synthetic_interactions,
 )
-from fashionvisualexpl_tpu.data.sampler import sample_negatives, sample_triplets
+from fashionvisualexpl_tpu.data.sampler import (
+    derived_pairs_ok,
+    sample_negatives,
+    sample_triplets,
+)
 
 
 def test_never_samples_positive():
@@ -194,3 +198,105 @@ def test_user_perm_uniform_fast_path_matches_generic():
         np.testing.assert_array_equal(
             np.asarray(f), np.asarray(g), err_msg=name
         )
+
+
+def _sorted_uniform_interactions(num_users=24, num_items=60, per_user=7,
+                                 seed=21):
+    """Fixture in the derived-pairs regime: uniform counts, each user's
+    training row stored SORTED (so padded_pos rows == stored pair order)."""
+    from fashionvisualexpl_tpu.data.interactions import Interactions
+
+    rng = np.random.default_rng(seed)
+    training = [
+        sorted(rng.choice(num_items, size=per_user, replace=False).tolist())
+        for _ in range(num_users)
+    ]
+    test = [[int(rng.integers(num_items))] for _ in range(num_users)]
+    return Interactions.from_lists(training, test, num_items)
+
+
+def test_derived_pairs_bit_identical_all_schemes():
+    """train_pairs=None (capacity mode) must reproduce the materialized
+    pair-table path bit-for-bit in all three epoch schemes when eligible
+    (uniform counts + sorted stored order)."""
+    data = _sorted_uniform_interactions()
+    assert derived_pairs_ok(data.train_pairs, data.padded_pos)
+    batch = 16
+    steps = data.steps_per_epoch(batch)
+    pos_d = jnp.asarray(data.padded_pos)
+    cnt_d = jnp.asarray(data.pos_counts)
+    for scheme in (False, True, "pair_perm"):
+        key = jax.random.PRNGKey(3)
+        ref = sample_triplets(
+            key, jnp.asarray(data.train_pairs), pos_d, cnt_d,
+            data.num_items, steps, batch, with_replacement=scheme,
+        )
+        der = sample_triplets(
+            key, None, pos_d, cnt_d,
+            data.num_items, steps, batch, with_replacement=scheme,
+        )
+        for name, r, d in zip(("users", "pos", "neg"), ref, der):
+            np.testing.assert_array_equal(
+                np.asarray(r), np.asarray(d),
+                err_msg=f"scheme={scheme} {name}",
+            )
+
+
+def test_derived_pairs_ok_rejects_ineligible():
+    data = _sorted_uniform_interactions()
+    # unsorted stored order: padded rows no longer equal the pair list
+    shuffled = [list(reversed(r)) for r in data.training_list]
+    from fashionvisualexpl_tpu.data.interactions import Interactions
+
+    bad_order = Interactions.from_lists(
+        shuffled, data.test_list, data.num_items
+    )
+    assert not derived_pairs_ok(bad_order.train_pairs, bad_order.padded_pos)
+    # non-uniform counts
+    trimmed = [r[:-1] if u == 0 else r
+               for u, r in enumerate(data.training_list)]
+    bad_counts = Interactions.from_lists(
+        trimmed, data.test_list, data.num_items
+    )
+    assert not derived_pairs_ok(bad_counts.train_pairs, bad_counts.padded_pos)
+
+
+def test_derived_pairs_through_packed_epoch_fn():
+    """The generic packed epoch fn accepts train_pairs=None under jit and
+    trains identically to the materialized-pairs epoch."""
+    from fashionvisualexpl_tpu.models.bprmf import BPRMF
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        make_generic_packed_epoch_fn, pack_generic_state,
+        unpack_generic_params,
+    )
+
+    data = _sorted_uniform_interactions()
+    model = BPRMF(data.num_users, data.num_items, embed_k=8)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    batch = 16
+    steps = data.steps_per_epoch(batch)
+    epoch_fn = make_generic_packed_epoch_fn(
+        model, 0.01, 0.001, data.num_items, steps, batch,
+        with_replacement=False, lazy_catchup=True,
+    )
+    pos_d = jnp.asarray(data.padded_pos)
+    cnt_d = jnp.asarray(data.pos_counts)
+    outs = {}
+    for label, pairs_arg in (
+        ("pairs", jnp.asarray(data.train_pairs)), ("derived", None)
+    ):
+        state = pack_generic_state(model, params)
+        state, loss = epoch_fn(
+            state, frozen, jax.random.PRNGKey(5), pairs_arg, pos_d, cnt_d
+        )
+        outs[label] = (
+            float(loss),
+            unpack_generic_params(state, model.packed_spec()),
+        )
+    assert outs["pairs"][0] == outs["derived"][0]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        outs["pairs"][1], outs["derived"][1],
+    )

@@ -525,7 +525,10 @@ def make_generic_packed_step(
             S = rows.shape[0]
             sc_rows = rows[:, sc0:F0].reshape(S * nS, gs)
             sc_g = cgi[:, Wi:].reshape(S * nS, 1)
-            sc_dt = jnp.repeat(dt, nS, axis=0)
+            # broadcast, not jnp.repeat: repeat lowers to a real gather
+            # (measured 8x on the sampler's perm expansion, SPEED.md r5);
+            # row-major broadcast gives the same interleaving for free
+            sc_dt = jnp.broadcast_to(dt, (S, nS)).reshape(S * nS, 1)
             sc = lazy_scalar_rows(sc_rows, sc_g, sc_dt, t, lr).reshape(
                 S, gs * nS
             )

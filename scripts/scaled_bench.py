@@ -228,7 +228,9 @@ def main():
             # table once.  The earlier device-side init must go first.
             import jax
 
-            for v in params.values():
+            # tree_leaves, not .values(): ACF/encoder models carry NESTED
+            # param dicts (attention/tower MLPs) whose values are dicts
+            for v in jax.tree_util.tree_leaves(params):
                 v.delete()
             params = {}
             cpu0 = jax.devices("cpu")[0]
@@ -255,8 +257,13 @@ def main():
                 moment_dtype=args.moment_dtype, row_align=args.row_align,
             )
         # the fp32 init params must not stay alive next to the packed state
-        for v in params.values():
-            v.delete()
+        # — but the state's dense entries (encoder/attention MLPs) ALIAS
+        # the originals rather than repacking them: delete only the leaves
+        # the packed state does not still reference
+        kept = {id(x) for x in jax.tree_util.tree_leaves(state)}
+        for v in jax.tree_util.tree_leaves(params):
+            if id(v) not in kept:
+                v.delete()
         params = None
         epoch_fn = make_generic_packed_epoch_fn(
             model, 0.001, 0.001, args.items, steps, batch,

@@ -49,7 +49,7 @@ def main():
 
     print(f"building {args.users}x{args.items} arrays...", flush=True)
     _, padded_pos, counts = make_scaled_arrays(
-        args.users, args.items, args.pos_per_user
+        args.users, args.items, args.pos_per_user, build_pairs=False
     )
     data = _ArrayData(args.users, args.items)
     model = BPRMF(args.users, args.items, embed_k=args.embed_k)

@@ -65,3 +65,66 @@ def test_scaled_bench_acf_nested_params(capsys):
          "--spatial_s", "4", "--spatial_c", "8", "--skip_eval"],
         capsys,
     )
+
+
+def _run_script(name, argv, capsys, expect):
+    mod = _load(name)
+    old = sys.argv
+    sys.argv = [f"{name}.py"] + argv
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out
+    assert expect in out, out
+
+
+def test_eval_bench_counts_kernel(capsys):
+    _run_script(
+        "eval_bench",
+        ["--users", "32", "--items", "256", "--dim", "8", "--banned", "4",
+         "--item_block", "128", "--chain", "1"],
+        capsys, '"scores_per_sec"',
+    )
+
+
+def test_eval_bench_full_evaluator_sharded(capsys):
+    """FactoredEvaluator end-to-end over a 1x8 model mesh (all 8 virtual
+    CPU devices from conftest; make_mesh requires using every device) —
+    the sharded-eval script path."""
+    _run_script(
+        "eval_bench",
+        ["--users", "32", "--items", "64", "--dim", "8",
+         "--item_block", "32", "--full", "--mesh_model", "8"],
+        capsys, '"scores_per_sec"',
+    )
+
+
+def test_serving_bench_tiny(capsys):
+    _run_script(
+        "serving_bench",
+        ["--users", "64", "--items", "256", "--embed_k", "8",
+         "--top_k", "5", "--item_block", "128", "--batches", "2",
+         "--iters", "2"],
+        capsys, '"paths"',
+    )
+
+
+def test_explain_bench_tiny(capsys):
+    _run_script(
+        "explain_bench",
+        ["--users", "32", "--items", "64", "--pos_per_user", "4",
+         "--dim_f", "8", "--user_block", "8"],
+        capsys, '"distinct_bucket_widths"',
+    )
+
+
+def test_streamed_bench_both_modes(capsys):
+    for mode in ("resident", "streamed"):
+        _run_script(
+            "streamed_bench",
+            ["--mode", mode, "--users", "64", "--items", "64",
+             "--img_hw", "8", "--embed_k", "8", "--batch", "32",
+             "--steps", "2", "--epochs", "1"],
+            capsys, "triples_per_sec",
+        )

@@ -300,3 +300,49 @@ def test_derived_pairs_through_packed_epoch_fn():
         ),
         outs["pairs"][1], outs["derived"][1],
     )
+
+
+def test_derived_pairs_with_fused_frozen_epoch():
+    """Derived pairs composes with fused_frozen packed rows (the VBPR
+    capacity configuration): epoch losses and packed state bit-equal to
+    the materialized-pairs epoch."""
+    from fashionvisualexpl_tpu.data.features import synthetic_features
+    from fashionvisualexpl_tpu.models.vbpr import VBPR
+    from fashionvisualexpl_tpu.train.packed_generic import (
+        make_generic_packed_epoch_fn, pack_generic_state,
+    )
+
+    data = _sorted_uniform_interactions(num_users=20, num_items=40,
+                                        per_user=6, seed=33)
+    model = VBPR(20, 40, synthetic_features(40, 9, seed=1),
+                 embed_k=6, embed_d=4)
+    params, frozen = model.init(jax.random.PRNGKey(0))
+    batch = 16
+    steps = data.steps_per_epoch(batch)
+    epoch_fn = make_generic_packed_epoch_fn(
+        model, 0.01, 0.001, data.num_items, steps, batch,
+        with_replacement=False, fused_frozen=True,
+        moment_dtype="bfloat16", lazy_catchup=True,
+    )
+    pos_d = jnp.asarray(data.padded_pos)
+    cnt_d = jnp.asarray(data.pos_counts)
+    outs = {}
+    for label, pairs_arg in (
+        ("pairs", jnp.asarray(data.train_pairs)), ("derived", None)
+    ):
+        # pack consumes the param buffers — copy so both labels pack
+        # identical bits
+        st = pack_generic_state(
+            model, jax.tree_util.tree_map(jnp.copy, params),
+            frozen=frozen, moment_dtype="bfloat16",
+        )
+        for e in range(2):
+            st, loss = epoch_fn(
+                st, frozen, jax.random.PRNGKey(40 + e), pairs_arg,
+                pos_d, cnt_d,
+            )
+        outs[label] = (float(loss), np.asarray(st.user_pmv),
+                       np.asarray(st.item_pmv))
+    assert outs["pairs"][0] == outs["derived"][0]
+    np.testing.assert_array_equal(outs["pairs"][1], outs["derived"][1])
+    np.testing.assert_array_equal(outs["pairs"][2], outs["derived"][2])

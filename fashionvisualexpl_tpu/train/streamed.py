@@ -98,7 +98,15 @@ def fit_streamed(
     state = create_train_state(params, tx)
     steps = data.steps_per_epoch(cfg.batch_size)
 
-    train_pairs = jnp.asarray(data.train_pairs)
+    # derived-pairs mode when eligible, like the Trainer (data/sampler.py):
+    # the streamed regime exists precisely because features outgrow HBM,
+    # so not shipping the [N, 2] pair table matters most here
+    from fashionvisualexpl_tpu.data.sampler import derived_pairs_ok
+
+    train_pairs = (
+        None if derived_pairs_ok(data.train_pairs, data.padded_pos)
+        else jnp.asarray(data.train_pairs)
+    )
     padded_pos = jnp.asarray(data.padded_pos)
     pos_counts = jnp.asarray(data.pos_counts)
 

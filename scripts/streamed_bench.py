@@ -31,7 +31,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scaled_bench import make_scaled_arrays  # noqa: E402
+from scripts.scaled_bench import make_scaled_arrays  # noqa: E402
 
 
 def build_memmap_stack(path, items, hw, chunk=4096):

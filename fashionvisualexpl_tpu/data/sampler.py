@@ -130,6 +130,15 @@ def sample_triplets(
         U = pos_counts.shape[0]
         Pw = padded_pos.shape[1]
         perm = jax.random.permutation(perm_key, U)
+        # PARTIAL epochs (take < n, e.g. fixed-step bench/ladder runs)
+        # only ever consume the first ceil(take/Pw) permuted users' runs —
+        # slice the permutation BEFORE the row gather and run expansions
+        # so sampler transients scale with `take`, not the table (at the
+        # 9M-row bf16 capacity run: ~1.4GB of [U*Pw] intermediates ->
+        # ~25MB).  A full epoch has nu == U and nothing changes; outputs
+        # are bit-identical either way (first-take elements only depend
+        # on the first nu permuted users; PRNG draws keep their shapes).
+        nu = min(U, -(-take // Pw)) if Pw else U
         if derived:
             # pair list re-derived from padded_pos: user k's run is row
             # perm[k] verbatim (uniform counts + sorted stored order make
@@ -140,21 +149,22 @@ def sample_triplets(
             # measured 114.1 -> 21.1 ms/epoch-sample at 1M x 500k, 200x8192
             # (jnp.repeat here was 170ms — it lowers to a real gather; the
             # broadcast is free).
-            rows_u = jnp.take(padded_pos, perm, axis=0)  # [U, Pw]
+            perm_u = perm[:nu]
+            rows_u = jnp.take(padded_pos, perm_u, axis=0)  # [nu, Pw]
             users = jnp.broadcast_to(
-                perm.astype(jnp.int32)[:, None], (U, Pw)
-            ).reshape(U * Pw)[:take]
-            pos = rows_u.reshape(U * Pw)[:take]
+                perm_u.astype(jnp.int32)[:, None], (nu, Pw)
+            ).reshape(nu * Pw)[:take]
+            pos = rows_u.reshape(nu * Pw)[:take]
             u01 = jax.random.uniform(neg_key, (take,))
             c = num_items - Pw
             r = jnp.minimum(jnp.floor(u01 * c).astype(jnp.int32), c - 1)
-            r_u = jnp.pad(r, (0, U * Pw - take)).reshape(U, Pw)
+            r_u = jnp.pad(r, (0, nu * Pw - take)).reshape(nu, Pw)
             shifted = rows_u - jnp.arange(Pw, dtype=jnp.int32)[None, :]
             k = jnp.sum(
                 shifted[:, None, :] <= r_u[:, :, None], axis=2,
                 dtype=jnp.int32,
             )
-            neg = (r_u + k).reshape(U * Pw)[:take]
+            neg = (r_u + k).reshape(nu * Pw)[:take]
             shape = (num_steps, batch_size)
             return (users.reshape(shape), pos.reshape(shape),
                     neg.reshape(shape))
@@ -172,33 +182,34 @@ def sample_triplets(
             # 1M x 500k config, the capacity wall the round-5 ladder hit).
             # Ordering and PRNG draws are IDENTICAL to the generic path
             # below — same perm, same visit order, same neg key/shapes.
+            perm_u = perm[:nu]
             idx_u = (
-                perm[:, None] * Pw
+                perm_u[:, None] * Pw
                 + jnp.arange(Pw, dtype=perm.dtype)[None, :]
-            ).reshape(U * Pw)[:take]
+            ).reshape(nu * Pw)[:take]
             # users need no gather at all (user-major uniform layout makes
             # train_pairs[k*Pw + t, 0] == k), and pos gathers the ITEM
             # COLUMN 1-D — a [take, 2] row gather pays 64x (8,128)-tile
             # padding on the 2-wide lane dim (measured 114.1 -> 34.3
             # ms/epoch-sample at 1M x 500k, 200x8192)
             users = jnp.broadcast_to(
-                perm.astype(jnp.int32)[:, None], (U, Pw)
-            ).reshape(U * Pw)[:take]
+                perm_u.astype(jnp.int32)[:, None], (nu, Pw)
+            ).reshape(nu * Pw)[:take]
             pos = jnp.take(train_pairs[:, 1], idx_u)
-            rows_u = jnp.take(padded_pos, perm, axis=0)  # [U, Pw], once/user
+            rows_u = jnp.take(padded_pos, perm_u, axis=0)  # [nu, Pw]
             # identical u01 draw to the generic path (same key, same [take]
             # shape); counts are the static Pw everywhere
             u01 = jax.random.uniform(neg_key, (take,))
             c = num_items - Pw
             r = jnp.minimum(jnp.floor(u01 * c).astype(jnp.int32), c - 1)
-            r_u = jnp.pad(r, (0, U * Pw - take)).reshape(U, Pw)
+            r_u = jnp.pad(r, (0, nu * Pw - take)).reshape(nu, Pw)
             shifted = rows_u - jnp.arange(Pw, dtype=jnp.int32)[None, :]
-            # [U, Pw(draw), Pw(table)] compare+reduce fuses — never lands
+            # [nu, Pw(draw), Pw(table)] compare+reduce fuses — never lands
             k = jnp.sum(
                 shifted[:, None, :] <= r_u[:, :, None], axis=2,
                 dtype=jnp.int32,
             )
-            neg = (r_u + k).reshape(U * Pw)[:take]
+            neg = (r_u + k).reshape(nu * Pw)[:take]
             shape = (num_steps, batch_size)
             return (users.reshape(shape), pos.reshape(shape),
                     neg.reshape(shape))

@@ -346,3 +346,51 @@ def test_derived_pairs_with_fused_frozen_epoch():
     assert outs["pairs"][0] == outs["derived"][0]
     np.testing.assert_array_equal(outs["pairs"][1], outs["derived"][1])
     np.testing.assert_array_equal(outs["pairs"][2], outs["derived"][2])
+
+
+def test_partial_epoch_user_slice_matches_generic():
+    """Partial epochs (take < n) slice the permutation to the users
+    actually consumed before the row gather (sampler fast paths) — the
+    triples must still equal the UNSLICED generic per-pair-index path
+    bit-for-bit, and the derived mode must match both."""
+    data = synthetic_interactions(25, 50, interactions_per_user=9, seed=11)
+    batch = 16
+    steps = 3  # partial: 48 of 175 pairs -> nu = ceil(48/7) = 7 of 25 users
+    assert steps * batch < len(data.train_pairs)
+    key = jax.random.PRNGKey(17)
+
+    fast = sample_triplets(
+        key, jnp.asarray(data.train_pairs), jnp.asarray(data.padded_pos),
+        jnp.asarray(data.pos_counts), data.num_items, steps, batch,
+    )
+    sentinel = data.num_items + 1
+    wide = np.concatenate(
+        [np.asarray(data.padded_pos),
+         np.full((data.num_users, 1), sentinel, np.int32)], axis=1,
+    )
+    generic = sample_triplets(
+        key, jnp.asarray(data.train_pairs), jnp.asarray(wide),
+        jnp.asarray(data.pos_counts), data.num_items, steps, batch,
+    )
+    for name, f, g in zip(("users", "pos", "neg"), fast, generic):
+        np.testing.assert_array_equal(
+            np.asarray(f), np.asarray(g), err_msg=name
+        )
+
+    sorted_data = _sorted_uniform_interactions(num_users=25, num_items=50,
+                                               per_user=9, seed=11)
+    ref = sample_triplets(
+        key, jnp.asarray(sorted_data.train_pairs),
+        jnp.asarray(sorted_data.padded_pos),
+        jnp.asarray(sorted_data.pos_counts), sorted_data.num_items,
+        steps, batch,
+    )
+    der = sample_triplets(
+        key, None, jnp.asarray(sorted_data.padded_pos),
+        jnp.asarray(sorted_data.pos_counts), sorted_data.num_items,
+        steps, batch,
+    )
+    for name, r, d in zip(("users", "pos", "neg"), ref, der):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(d), err_msg=name
+        )
